@@ -1,0 +1,156 @@
+"""Gather: movement + resource collection for mobile agents.
+
+TPU-native rewrite of the reference Gather component
+(ai_economist/foundation/components/move.py:16-222). The reference resolves
+movement conflicts by iterating agents in a random order and letting earlier
+agents block later ones (move.py:104-153, world.py:418-422). We reproduce
+those exact semantics with a `lax.scan` over a randomly permuted agent index:
+each scan step moves one agent against the current occupancy, then collects
+resources at its final tile. With n_agents ~ 4-16 the scan is short and the
+whole thing vmaps cleanly over thousands of envs.
+
+Action subspace (mobile agents): 4 actions — 1=Left, 2=Right, 3=Up, 4=Down
+(move.py:115-123). 0 = NO-OP (stand still; still collects underfoot,
+move.py:136-142).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from ai_economist_tpu.core import world as W
+from ai_economist_tpu.core.component import Component, component_registry
+from ai_economist_tpu.core.state import EnvState
+
+
+@component_registry.add
+class Gather(Component):
+    name = "Gather"
+    required_entities = ["Coin", "House", "Labor"]
+    agent_subclasses = ["BasicMobileAgent"]
+
+    def __init__(
+        self,
+        spec,
+        episode_length,
+        inventory_scale=1.0,
+        move_labor=1.0,
+        collect_labor=1.0,
+        skill_dist="none",
+    ):
+        super().__init__(spec, episode_length, inventory_scale)
+        self.move_labor = float(move_labor)
+        self.collect_labor = float(collect_labor)
+        self.skill_dist = skill_dist.lower()
+        assert self.skill_dist in ("none", "pareto", "lognormal")
+        assert self.move_labor >= 0 and self.collect_labor >= 0
+
+    def n_actions(self, agent_cls_name):
+        return 4 if agent_cls_name == "BasicMobileAgent" else None
+
+    def agent_fields(self, agent_cls_name):
+        if agent_cls_name == "BasicMobileAgent":
+            return {"bonus_gather_prob": 0.0}
+        return {}
+
+    # ------------------------------------------------------------------
+    def reset(self, state: EnvState, key) -> EnvState:
+        """Resample collection skills (move.py:193-210)."""
+        n = self.n_agents
+        if self.skill_dist == "none":
+            bonus = jnp.zeros((n,), jnp.float32)
+        elif self.skill_dist == "pareto":
+            # numpy's pareto(a) is Lomax: pareto_I(a) - 1.
+            samples = jax.random.pareto(key, 3.0, (n,)) - 1.0
+            bonus = jnp.minimum(2.0, samples) / 2.0
+        else:  # lognormal
+            samples = jnp.exp(-2.022 + 0.938 * jax.random.normal(key, (n,)))
+            bonus = jnp.minimum(2.0, samples) / 2.0
+        fields = dict(state.agent_fields)
+        fields["bonus_gather_prob"] = bonus.astype(jnp.float32)
+        return state.replace(agent_fields=fields)
+
+    # ------------------------------------------------------------------
+    def step(self, state: EnvState, a_actions, p_actions, key) -> EnvState:
+        spec = self.spec
+        n = self.n_agents
+        H, Wd = spec.height, spec.width
+        acts = a_actions[self.name]  # [N] int32 in 0..4
+        lab_i = spec.endo_idx("Labor")
+        colls = spec.collectibles
+        res_cols = jnp.array([spec.res_idx(r) for r in colls], jnp.int32)
+
+        k_perm, k_bonus = jax.random.split(key)
+        order = jax.random.permutation(k_perm, n)
+        # One bonus-collection coin flip per (agent, collectible) per step.
+        bonus_draws = jax.random.uniform(k_bonus, (n, len(colls)))
+
+        access = W.accessibility(spec, state)  # [N, H, W] (static this step)
+        res_stack = jnp.stack([state.maps[r] for r in colls])  # [C, H, W]
+        occ = W.occupancy_map(spec, state.loc)
+
+        # Row/col deltas for actions 0..4 (0 = stay).
+        droff = jnp.array([0, 0, 0, -1, 1], jnp.int32)
+        dcoff = jnp.array([0, -1, 1, 0, 0], jnp.int32)
+
+        def body(carry, i):
+            loc, res, occ, inv, endo = carry
+            a = acts[i]
+            r, c = loc[i, 0], loc[i, 1]
+            nr, nc = r + droff[a], c + dcoff[a]
+            in_bounds = (nr >= 0) & (nr < H) & (nc >= 0) & (nc < Wd)
+            nr_c = jnp.clip(nr, 0, H - 1)
+            nc_c = jnp.clip(nc, 0, Wd - 1)
+            can = in_bounds & access[i, nr_c, nc_c] & ~occ[nr_c, nc_c]
+            moved = (a > 0) & can
+            fr = jnp.where(moved, nr_c, r)
+            fc = jnp.where(moved, nc_c, c)
+            # Update occupancy: vacate old tile, claim new one.
+            occ = occ.at[r, c].set(jnp.where(moved, False, occ[r, c]))
+            occ = occ.at[fr, fc].set(True)
+            loc = loc.at[i, 0].set(fr).at[i, 1].set(fc)
+            endo = endo.at[i, lab_i].add(
+                jnp.where(moved, self.move_labor, 0.0)
+            )
+            # Collect resources at the final tile (move.py:136-151).
+            health = res[:, fr, fc]  # [C]
+            collect = health >= 1.0
+            bonus = (
+                bonus_draws[i] < state.agent_fields["bonus_gather_prob"][i]
+            ).astype(jnp.float32)
+            n_gathered = (1.0 + bonus) * collect
+            inv = inv.at[i, res_cols].add(n_gathered)
+            res = res.at[:, fr, fc].add(-collect.astype(jnp.float32))
+            endo = endo.at[i, lab_i].add(self.collect_labor * collect.sum())
+            return (loc, res, occ, inv, endo), None
+
+        carry = (state.loc, res_stack, occ, state.inventory, state.endogenous)
+        (loc, res, _occ, inv, endo), _ = jax.lax.scan(body, carry, order)
+
+        maps = dict(state.maps)
+        for j, rname in enumerate(colls):
+            maps[rname] = res[j]
+        return state.replace(loc=loc, maps=maps, inventory=inv, endogenous=endo)
+
+    # ------------------------------------------------------------------
+    def obs(self, state: EnvState):
+        return {"a": {"bonus_gather_prob": state.agent_fields["bonus_gather_prob"]}}
+
+    def masks(self, state: EnvState):
+        """Mask moves into occupied/inaccessible/out-of-bounds tiles
+        (move.py:167-188). Order: [Left, Right, Up, Down]."""
+        spec = self.spec
+        unocc = ~W.occupancy_map(spec, state.loc)
+        acc = W.accessibility(spec, state)
+        unocc_p = jnp.pad(unocc, 1, constant_values=False)
+        acc_p = jnp.pad(acc, ((0, 0), (1, 1), (1, 1)), constant_values=False)
+        roff = jnp.array([0, 0, -1, 1], jnp.int32)
+        coff = jnp.array([-1, 1, 0, 0], jnp.int32)
+        ris = state.loc[:, 0:1] + roff[None] + 1  # [N, 4]
+        cis = state.loc[:, 1:2] + coff[None] + 1
+        aidx = jnp.arange(spec.n_agents)[:, None]
+        mask = (unocc_p[ris, cis] & acc_p[aidx, ris, cis]).astype(jnp.float32)
+        return {"a": {self.name: mask}}

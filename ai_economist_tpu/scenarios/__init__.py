@@ -1,0 +1,4 @@
+"""Built-in scenarios (importing registers them; cf. reference
+foundation/scenarios/__init__.py:7-11)."""
+
+from ai_economist_tpu.scenarios import wood_and_stone  # noqa: F401

@@ -1,0 +1,15 @@
+"""Test configuration: run on a virtual 8-device CPU mesh.
+
+Multi-chip TPU hardware is not available in CI; sharding tests run against
+XLA's host-platform device emulation instead.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
