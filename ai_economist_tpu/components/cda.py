@@ -1,0 +1,449 @@
+"""ContinuousDoubleAuction: escrow-backed commodity order books on device.
+
+TPU-native rewrite of the reference CDA component
+(ai_economist/foundation/components/continuous_double_auction.py:16-679).
+
+Order books become fixed-capacity arrays: per commodity, each agent owns
+`max_num_orders` bid slots and as many ask slots ([N, M] price/lifetime/
+active arrays). Since the reference caps an agent's combined bids+asks per
+commodity at M (continuous_double_auction.py:154-163), a free slot always
+exists on a side whenever the combined count permits a new order.
+
+Matching reproduces the reference state machine exactly
+(continuous_double_auction.py:231-350): bids sorted by (price desc, lifetime
+desc), asks by (price asc, lifetime desc), trade at the *earlier* order's
+price, no self-trade, per-buyer possible-match flags with inner-loop restarts
+after each trade. We flatten the nested loops into one bounded
+`lax.while_loop` whose eight transitions mirror the reference's branch order;
+"removed" orders become skip-transitions over inactive slots, which is
+behaviorally identical to the reference's list pops. Tie-breaking uses agent
+index ascending — the stable-sort insertion order the reference produces
+(agents iterate in index order when creating orders,
+continuous_double_auction.py:449-485).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from ai_economist_tpu.core.component import Component, component_registry
+from ai_economist_tpu.core.entities import resource_registry
+from ai_economist_tpu.core.state import EnvState
+
+
+@component_registry.add
+class ContinuousDoubleAuction(Component):
+    name = "ContinuousDoubleAuction"
+    shorthand = "Trade"
+    component_type = "Trade"
+    required_entities = ["Coin", "Labor"]
+    agent_subclasses = ["BasicMobileAgent"]
+
+    def __init__(
+        self,
+        spec,
+        episode_length,
+        inventory_scale=1.0,
+        max_bid_ask=10,
+        order_labor=0.25,
+        order_duration=50,
+        max_num_orders=None,
+    ):
+        super().__init__(spec, episode_length, inventory_scale)
+        self.max_bid_ask = int(max_bid_ask)
+        assert self.max_bid_ask >= 1
+        self.price_floor = 0
+        self.price_ceiling = int(max_bid_ask)
+        self.order_duration = int(order_duration)
+        assert self.order_duration >= 1
+        self.max_num_orders = int(max_num_orders or self.order_duration)
+        assert self.max_num_orders >= 1
+        self.order_labor = max(float(order_labor), 0.0)
+        self.commodities = [
+            r for r in spec.resources if resource_registry.get(r).collectible
+        ]
+        self.n_prices = 1 + self.price_ceiling - self.price_floor  # P
+        self.M = self.max_num_orders
+        self.K = self.n_agents * self.M  # flattened book capacity per side
+
+    # ------------------------------------------------------------------
+    def n_actions(self, agent_cls_name):
+        if agent_cls_name == "BasicMobileAgent":
+            out = []
+            for c in self.commodities:
+                out.append((f"Buy_{c}", 1 + self.max_bid_ask))
+                out.append((f"Sell_{c}", 1 + self.max_bid_ask))
+            return out
+        return None
+
+    def init_state(self):
+        C, N, M, P = len(self.commodities), self.n_agents, self.M, self.n_prices
+        book = lambda: {
+            "price": jnp.zeros((C, N, M), jnp.int32),
+            "lifetime": jnp.zeros((C, N, M), jnp.int32),
+            "active": jnp.zeros((C, N, M), jnp.bool_),
+        }
+        return {
+            "bids": book(),
+            "asks": book(),
+            "n_orders": jnp.zeros((C, N), jnp.int32),
+            "price_history": jnp.zeros((C, N, P), jnp.float32),
+            "bid_hist": jnp.zeros((C, N, P), jnp.float32),
+            "ask_hist": jnp.zeros((C, N, P), jnp.float32),
+            # episode metric accumulators
+            "sell_n": jnp.zeros((C, N), jnp.int32),
+            "sell_price_sum": jnp.zeros((C, N), jnp.float32),
+            "buy_n": jnp.zeros((C, N), jnp.int32),
+            "buy_price_sum": jnp.zeros((C, N), jnp.float32),
+            "n_trades": jnp.zeros((), jnp.int32),
+        }
+
+    # ------------------------------------------------------------------
+    # step
+    # ------------------------------------------------------------------
+    def step(self, state: EnvState, a_actions, p_actions, key) -> EnvState:
+        spec = self.spec
+        cs = state.comp[self.name]
+        coin_i = spec.res_idx("Coin")
+        lab_i = spec.endo_idx("Labor")
+        N, M, K, P = self.n_agents, self.M, self.K, self.n_prices
+
+        inv, esc, endo = state.inventory, state.escrow, state.endogenous
+        bids, asks = dict(cs["bids"]), dict(cs["asks"])
+        b_price, b_life, b_act = bids["price"], bids["lifetime"], bids["active"]
+        a_price, a_life, a_act = asks["price"], asks["lifetime"], asks["active"]
+        n_orders = cs["n_orders"]
+        price_history = cs["price_history"] * 0.995  # decay (cda.py:451)
+        bid_hist, ask_hist = cs["bid_hist"], cs["ask_hist"]
+        sell_n, sell_ps = cs["sell_n"], cs["sell_price_sum"]
+        buy_n, buy_ps = cs["buy_n"], cs["buy_price_sum"]
+        n_trades = cs["n_trades"]
+
+        agent_ids = jnp.arange(N, dtype=jnp.int32)
+
+        for ci, c in enumerate(self.commodities):
+            c_res = spec.res_idx(c)
+
+            # ----- create bids (cda.py:168-198) -----
+            act_b = a_actions[f"{self.name}.Buy_{c}"]  # [N] 0..P
+            want = act_b > 0
+            price = jnp.maximum(act_b - 1, 0)
+            can = (n_orders[ci] < self.max_num_orders) & (
+                inv[:, coin_i] >= price.astype(jnp.float32)
+            )
+            do = want & can
+            free = jnp.argmin(b_act[ci], axis=1)  # first inactive slot per agent
+            b_price = b_price.at[ci, agent_ids, free].set(
+                jnp.where(do, price, b_price[ci, agent_ids, free])
+            )
+            b_life = b_life.at[ci, agent_ids, free].set(
+                jnp.where(do, 0, b_life[ci, agent_ids, free])
+            )
+            b_act = b_act.at[ci, agent_ids, free].set(
+                do | b_act[ci, agent_ids, free]
+            )
+            df = do.astype(jnp.float32)
+            bid_hist = bid_hist.at[ci, agent_ids, price].add(df)
+            n_orders = n_orders.at[ci].add(do.astype(jnp.int32))
+            inv = inv.at[:, coin_i].add(-df * price)
+            esc = esc.at[:, coin_i].add(df * price)
+            endo = endo.at[:, lab_i].add(df * self.order_labor)
+
+            # ----- create asks (cda.py:200-229) -----
+            act_a = a_actions[f"{self.name}.Sell_{c}"]
+            want = act_a > 0
+            aprice = jnp.maximum(act_a - 1, 0)
+            can = (n_orders[ci] < self.max_num_orders) & (inv[:, c_res] > 0)
+            do = want & can
+            free = jnp.argmin(a_act[ci], axis=1)
+            a_price = a_price.at[ci, agent_ids, free].set(
+                jnp.where(do, aprice, a_price[ci, agent_ids, free])
+            )
+            a_life = a_life.at[ci, agent_ids, free].set(
+                jnp.where(do, 0, a_life[ci, agent_ids, free])
+            )
+            a_act = a_act.at[ci, agent_ids, free].set(
+                do | a_act[ci, agent_ids, free]
+            )
+            df = do.astype(jnp.float32)
+            ask_hist = ask_hist.at[ci, agent_ids, aprice].add(df)
+            n_orders = n_orders.at[ci].add(do.astype(jnp.int32))
+            inv = inv.at[:, c_res].add(-df)
+            esc = esc.at[:, c_res].add(df)
+            endo = endo.at[:, lab_i].add(df * self.order_labor)
+
+            # ----- match (cda.py:231-350) -----
+            (
+                b_act_c,
+                a_act_c,
+                t_buyer,
+                t_seller,
+                t_price,
+                t_bidp,
+                t_askp,
+                t_count,
+            ) = self._match(
+                b_price[ci], b_life[ci], b_act[ci],
+                a_price[ci], a_life[ci], a_act[ci],
+            )
+            b_act = b_act.at[ci].set(b_act_c)
+            a_act = a_act.at[ci].set(a_act_c)
+
+            valid = (jnp.arange(K) < t_count)
+            vf = valid.astype(jnp.float32)
+            tb = jnp.where(valid, t_buyer, 0)
+            ts = jnp.where(valid, t_seller, 0)
+            tp = jnp.where(valid, t_price, 0)
+            tpb = jnp.where(valid, t_bidp, 0)
+            tpa = jnp.where(valid, t_askp, 0)
+            tpf = tp.astype(jnp.float32)
+
+            # Settlement (cda.py:327-343)
+            esc = esc.at[ts, c_res].add(-vf)
+            inv = inv.at[tb, c_res].add(vf)
+            esc = esc.at[tb, coin_i].add(-vf * tpb)
+            inv = inv.at[ts, coin_i].add(vf * tpf)
+            inv = inv.at[tb, coin_i].add(vf * (tpb - tpf))
+            # Bookkeeping (cda.py:313-325)
+            bid_hist = bid_hist.at[ci, tb, tpb].add(-vf)
+            ask_hist = ask_hist.at[ci, ts, tpa].add(-vf)
+            n_orders = n_orders.at[ci, ts].add(-valid.astype(jnp.int32))
+            n_orders = n_orders.at[ci, tb].add(-valid.astype(jnp.int32))
+            price_history = price_history.at[ci, ts, tp].add(vf)
+            # Metrics
+            sell_n = sell_n.at[ci, ts].add(valid.astype(jnp.int32))
+            sell_ps = sell_ps.at[ci, ts].add(vf * tpf)
+            buy_n = buy_n.at[ci, tb].add(valid.astype(jnp.int32))
+            buy_ps = buy_ps.at[ci, tb].add(vf * tpf)
+            n_trades = n_trades + t_count
+
+            # ----- expire (cda.py:352-406) -----
+            b_life = b_life.at[ci].add(b_act[ci].astype(jnp.int32))
+            a_life = a_life.at[ci].add(a_act[ci].astype(jnp.int32))
+            b_exp = b_act[ci] & (b_life[ci] > self.order_duration)
+            a_exp = a_act[ci] & (a_life[ci] > self.order_duration)
+            # refund bids: escrowed coin back to inventory
+            refund = (b_exp.astype(jnp.float32) * b_price[ci]).sum(axis=1)
+            esc = esc.at[:, coin_i].add(-refund)
+            inv = inv.at[:, coin_i].add(refund)
+            # refund asks: escrowed unit back to inventory
+            unit = a_exp.astype(jnp.float32).sum(axis=1)
+            esc = esc.at[:, c_res].add(-unit)
+            inv = inv.at[:, c_res].add(unit)
+            # histogram/order-count bookkeeping
+            bid_hist = bid_hist.at[ci].add(
+                -(jax.nn.one_hot(b_price[ci], P) * b_exp[..., None]).sum(axis=1)
+            )
+            ask_hist = ask_hist.at[ci].add(
+                -(jax.nn.one_hot(a_price[ci], P) * a_exp[..., None]).sum(axis=1)
+            )
+            n_orders = n_orders.at[ci].add(
+                -(b_exp.sum(axis=1) + a_exp.sum(axis=1)).astype(jnp.int32)
+            )
+            b_act = b_act.at[ci].set(b_act[ci] & ~b_exp)
+            a_act = a_act.at[ci].set(a_act[ci] & ~a_exp)
+
+        comp = {
+            **state.comp,
+            self.name: {
+                "bids": {"price": b_price, "lifetime": b_life, "active": b_act},
+                "asks": {"price": a_price, "lifetime": a_life, "active": a_act},
+                "n_orders": n_orders,
+                "price_history": price_history,
+                "bid_hist": bid_hist,
+                "ask_hist": ask_hist,
+                "sell_n": sell_n,
+                "sell_price_sum": sell_ps,
+                "buy_n": buy_n,
+                "buy_price_sum": buy_ps,
+                "n_trades": n_trades,
+            },
+        }
+        return state.replace(inventory=inv, escrow=esc, endogenous=endo, comp=comp)
+
+    # ------------------------------------------------------------------
+    def _match(self, b_price, b_life, b_act, a_price, a_life, a_act):
+        """One commodity's matching pass. Inputs are [N, M]; returns updated
+        active masks plus trade records (arrays of capacity K)."""
+        N, M, K = self.n_agents, self.M, self.K
+        L = self.order_duration + 2  # lifetime never exceeds duration + 1
+
+        bp, bl, ba = (x.reshape(K) for x in (b_price, b_life, b_act))
+        ap, al, aa = (x.reshape(K) for x in (a_price, a_life, a_act))
+        owner = jnp.repeat(jnp.arange(N, dtype=jnp.int32), M)
+
+        # Sort keys reproducing reference ordering + stable tie-break.
+        big = (self.n_prices + 1) * L * N * 2
+        kb = ((self.n_prices - bp) * L + (L - 1 - bl)) * N + owner
+        kb = jnp.where(ba, kb, big)
+        ka = (ap * L + (L - 1 - al)) * N + owner
+        ka = jnp.where(aa, ka, big)
+        b_ord = jnp.argsort(kb)
+        a_ord = jnp.argsort(ka)
+
+        sbp, sbl, sba, sbo = bp[b_ord], bl[b_ord], ba[b_ord], owner[b_ord]
+        sap, sal, saa, sao = ap[a_ord], al[a_ord], aa[a_ord], owner[a_ord]
+
+        Z = jnp.zeros((K,), jnp.int32)
+        init = dict(
+            ib=jnp.zeros((), jnp.int32),
+            ia=jnp.zeros((), jnp.int32),
+            keep=jnp.ones((), jnp.bool_),
+            possible=jnp.ones((N,), jnp.bool_),
+            b_active=sba,
+            a_active=saa,
+            t_count=jnp.zeros((), jnp.int32),
+            t_buyer=Z, t_seller=Z, t_price=Z, t_bidp=Z, t_askp=Z,
+        )
+
+        def cond(s):
+            return s["keep"] & s["possible"].any()
+
+        def body(s):
+            ib, ia = s["ib"], s["ia"]
+            ibc = jnp.minimum(ib, K - 1)
+            iac = jnp.minimum(ia, K - 1)
+            buyer = sbo[ibc]
+            seller = sao[iac]
+
+            out_of_bids = ib >= K
+            bid_hole = ~s["b_active"][ibc]
+            buyer_dead = ~s["possible"][buyer]
+            out_of_asks = ia >= K
+            ask_hole = ~s["a_active"][iac]
+            self_trade = seller == buyer
+            no_cross = sbp[ibc] < sap[iac]
+
+            # First-true priority mirrors cda.py:260-346 branch order, with
+            # hole-skips standing in for the reference's list removals.
+            case = jnp.argmax(
+                jnp.array(
+                    [
+                        out_of_bids,            # 0: keep_checking = False
+                        bid_hole,               # 1: skip removed bid
+                        buyer_dead,             # 2: next bid
+                        out_of_asks,            # 3: buyer unmatchable
+                        ask_hole,               # 4: skip removed ask
+                        self_trade,             # 5: next ask
+                        no_cross,               # 6: buyer unmatchable
+                        jnp.array(True),        # 7: trade!
+                    ]
+                )
+            )
+
+            def stop(s):
+                return {**s, "keep": jnp.zeros((), jnp.bool_)}
+
+            def skip_bid(s):
+                return {**s, "ib": ib + 1}
+
+            def kill_buyer(s):
+                return {
+                    **s,
+                    "possible": s["possible"].at[buyer].set(False),
+                    "ib": jnp.zeros((), jnp.int32),
+                    "ia": jnp.zeros((), jnp.int32),
+                }
+
+            def skip_ask(s):
+                return {**s, "ia": ia + 1}
+
+            def trade(s):
+                tc = s["t_count"]
+                price = jnp.where(sbl[ibc] <= sal[iac], sap[iac], sbp[ibc])
+                return {
+                    **s,
+                    "b_active": s["b_active"].at[ibc].set(False),
+                    "a_active": s["a_active"].at[iac].set(False),
+                    "t_buyer": s["t_buyer"].at[tc].set(buyer),
+                    "t_seller": s["t_seller"].at[tc].set(seller),
+                    "t_price": s["t_price"].at[tc].set(price),
+                    "t_bidp": s["t_bidp"].at[tc].set(sbp[ibc]),
+                    "t_askp": s["t_askp"].at[tc].set(sap[iac]),
+                    "t_count": tc + 1,
+                    "ib": jnp.zeros((), jnp.int32),
+                    "ia": jnp.zeros((), jnp.int32),
+                }
+
+            return jax.lax.switch(
+                case,
+                [stop, skip_bid, skip_bid, kill_buyer, skip_ask, skip_ask,
+                 kill_buyer, trade],
+                s,
+            )
+
+        out = jax.lax.while_loop(cond, body, init)
+
+        # Scatter surviving-order flags back to [N, M] slot layout.
+        b_act_new = jnp.zeros((K,), jnp.bool_).at[b_ord].set(out["b_active"])
+        a_act_new = jnp.zeros((K,), jnp.bool_).at[a_ord].set(out["a_active"])
+        return (
+            b_act_new.reshape(N, M),
+            a_act_new.reshape(N, M),
+            out["t_buyer"],
+            out["t_seller"],
+            out["t_price"],
+            out["t_bidp"],
+            out["t_askp"],
+            out["t_count"],
+        )
+
+    # ------------------------------------------------------------------
+    # obs / masks / metrics
+    # ------------------------------------------------------------------
+    def obs(self, state: EnvState):
+        cs = state.comp[self.name]
+        prices = jnp.arange(self.price_floor, self.price_ceiling + 1, dtype=jnp.float32)
+        a_obs, p_obs = {}, {}
+        for ci, c in enumerate(self.commodities):
+            net_ph = cs["price_history"][ci].sum(axis=0)  # [P]
+            market_rate = prices.dot(net_ph) / jnp.maximum(0.001, net_ph.sum())
+            scaled_ph = net_ph * self.inv_scale
+            full_asks = cs["ask_hist"][ci].sum(axis=0)
+            full_bids = cs["bid_hist"][ci].sum(axis=0)
+            p_obs[f"market_rate-{c}"] = market_rate
+            p_obs[f"price_history-{c}"] = scaled_ph
+            p_obs[f"full_asks-{c}"] = full_asks
+            p_obs[f"full_bids-{c}"] = full_bids
+            n = self.n_agents
+            a_obs[f"market_rate-{c}"] = jnp.full((n,), market_rate)
+            a_obs[f"price_history-{c}"] = jnp.broadcast_to(scaled_ph, (n,) + scaled_ph.shape)
+            a_obs[f"available_asks-{c}"] = full_asks[None] - cs["ask_hist"][ci]
+            a_obs[f"available_bids-{c}"] = full_bids[None] - cs["bid_hist"][ci]
+            a_obs[f"my_asks-{c}"] = cs["ask_hist"][ci]
+            a_obs[f"my_bids-{c}"] = cs["bid_hist"][ci]
+        return {"a": a_obs, "p": p_obs}
+
+    def masks(self, state: EnvState):
+        cs = state.comp[self.name]
+        spec = self.spec
+        coin = state.inventory[:, spec.res_idx("Coin")]
+        can_pay = (
+            jnp.arange(self.max_bid_ask + 1, dtype=jnp.float32)[None] <= coin[:, None]
+        ).astype(jnp.float32)
+        out = {}
+        for ci, c in enumerate(self.commodities):
+            under_limit = cs["n_orders"][ci] < self.max_num_orders
+            can_ask = under_limit & (state.inventory[:, spec.res_idx(c)] > 0)
+            out[f"{self.name}.Sell_{c}"] = (
+                can_ask[:, None] * jnp.ones((1, self.n_prices))
+            ).astype(jnp.float32)
+            out[f"{self.name}.Buy_{c}"] = under_limit[:, None] * can_pay
+        return {"a": out}
+
+    def metrics(self, state: EnvState):
+        cs = state.comp[self.name]
+        out = {}
+        for ci, c in enumerate(self.commodities):
+            for i in range(self.n_agents):
+                sn = cs["sell_n"][ci, i]
+                bn = cs["buy_n"][ci, i]
+                out[f"{i}/Sell{c}/n_sales"] = sn
+                out[f"{i}/Sell{c}/price"] = cs["sell_price_sum"][ci, i] / jnp.maximum(1, sn)
+                out[f"{i}/Buy{c}/n_sales"] = bn
+                out[f"{i}/Buy{c}/price"] = cs["buy_price_sum"][ci, i] / jnp.maximum(1, bn)
+        out["n_trades"] = cs["n_trades"]
+        return out
