@@ -1,4 +1,10 @@
 """Built-in components (importing registers them; cf. reference
 foundation/components/__init__.py:7-17)."""
 
-from ai_economist_tpu.components import build, cda, move  # noqa: F401
+from ai_economist_tpu.components import (  # noqa: F401
+    build,
+    cda,
+    move,
+    redistribution,
+    simple_labor,
+)

@@ -1,4 +1,7 @@
 """Built-in scenarios (importing registers them; cf. reference
 foundation/scenarios/__init__.py:7-11)."""
 
-from ai_economist_tpu.scenarios import wood_and_stone  # noqa: F401
+from ai_economist_tpu.scenarios import (  # noqa: F401
+    one_step_economy,
+    wood_and_stone,
+)

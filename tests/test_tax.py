@@ -1,0 +1,190 @@
+"""PeriodicBracketTax tests: bracket math, all four tax models, enactment,
+Saez warmup/formula, WealthRedistribution, one-step economy."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import ai_economist_tpu as aet
+
+
+def make_env(tax_model="model_wrapper", period=10, **tax_kwargs):
+    return aet.make_env_instance(
+        "uniform/simple_wood_and_stone",
+        components=[
+            ("Build", {}),
+            ("Gather", {}),
+            ("PeriodicBracketTax", dict(tax_model=tax_model, period=period, **tax_kwargs)),
+        ],
+        n_agents=4,
+        world_size=[15, 15],
+        episode_length=30,
+    )
+
+
+def test_us_federal_brackets():
+    env = make_env(tax_model="us-federal-single-filer-2018-scaled")
+    comp = env.get_component("PeriodicBracketTax")
+    np.testing.assert_allclose(
+        np.asarray(comp.bracket_cutoffs),
+        np.array([0, 9700, 39475, 84200, 160725, 204100, 510300]) / 1000.0,
+    )
+    assert comp.n_brackets == 7
+
+
+def test_taxes_due_formula():
+    env = make_env(tax_model="fixed-bracket-rates",
+                   bracket_spacing="linear", n_brackets=3,
+                   top_bracket_cutoff=100,
+                   fixed_bracket_rates=[0.1, 0.2, 0.3])
+    comp = env.get_component("PeriodicBracketTax")
+    rates = jnp.array([0.1, 0.2, 0.3])
+    # brackets: [0,50), [50,100), [100,inf)
+    assert float(comp.taxes_due(rates, 30.0)) == pytest.approx(3.0)
+    assert float(comp.taxes_due(rates, 60.0)) == pytest.approx(5.0 + 2.0)
+    assert float(comp.taxes_due(rates, 150.0)) == pytest.approx(5.0 + 10.0 + 15.0)
+    assert float(comp.taxes_due(rates, -5.0)) == 0.0
+    assert float(comp.marginal_rate(rates, 30.0)) == pytest.approx(0.1)
+    assert float(comp.marginal_rate(rates, 120.0)) == pytest.approx(0.3)
+    assert float(comp.marginal_rate(rates, -1.0)) == 0.0
+
+
+def test_planner_action_space_and_masks():
+    env = make_env(period=5)
+    lp = env.planner_action_space
+    # 7 us-federal brackets, 21 disc rates each
+    assert lp.n_subspaces == 7
+    assert all(n == 21 for _, n in lp.subspaces)
+    state, obs = jax.jit(env.reset_fresh)(jax.random.PRNGKey(0))
+    # At reset, cycle==1 -> planner tax actions unmasked
+    pm = np.asarray(obs["p"]["action_mask"])
+    assert pm.shape == (7 * 22,)  # multi-action: +1 noop per subspace
+    assert pm.sum() == 7 * 22
+    # After one step, cycle==2 -> only NO-OPs available
+    step = jax.jit(env.step)
+    state1, obs1, *_ = step(state, {"a": jnp.zeros(4, jnp.int32)})
+    pm1 = np.asarray(obs1["p"]["action_mask"])
+    assert pm1.sum() == 7  # just the per-subspace noop bits
+
+
+def test_model_wrapper_enactment_and_redistribution():
+    env = make_env(period=3)
+    comp = env.get_component("PeriodicBracketTax")
+    state, obs = jax.jit(env.reset_fresh)(jax.random.PRNGKey(0))
+    coin_i = env.world.res_idx("Coin")
+    # Give unequal incomes: agent 0 has 100 coin, others 0.
+    inv = state.inventory.at[0, coin_i].set(100.0)
+    state = state.replace(inventory=inv)
+    step = jax.jit(env.step)
+    # Planner sets bracket rates: choose index 20 => rate 1.0 for every bracket
+    p_act = jnp.full((7,), 21, jnp.int32)  # action 21 -> index 20 -> rate 1.0
+    a_noop = jnp.zeros(4, jnp.int32)
+    state, obs, *_ = step(state, {"a": a_noop, "p": p_act})  # cycle 1->2, rates set
+    cs = state.comp["PeriodicBracketTax"]
+    np.testing.assert_allclose(np.asarray(cs["curr_rate_indices"]), 20)
+    state, *_ = step(state, {"a": a_noop})  # cycle 2->3
+    state, *_ = step(state, {"a": a_noop})  # cycle 3 = period -> enact
+    cs = state.comp["PeriodicBracketTax"]
+    # income for agent 0 was 100 (granted after last_coin snapshot at reset)
+    # 100% marginal rate everywhere -> tax = income; lump-sum = tax/4
+    inv_after = np.asarray(state.inventory[:, coin_i])
+    # agent 0 paid 100, got back 25; others got 25.
+    np.testing.assert_allclose(inv_after, [25.0, 25.0, 25.0, 25.0], atol=1e-4)
+    assert float(cs["total_collected_taxes"]) == pytest.approx(100.0, abs=1e-4)
+    np.testing.assert_allclose(np.asarray(cs["last_income"]), [100, 0, 0, 0], atol=1e-5)
+
+
+def test_fixed_rates_and_disable():
+    env = make_env(tax_model="fixed-bracket-rates",
+                   bracket_spacing="linear", n_brackets=3, top_bracket_cutoff=100,
+                   fixed_bracket_rates=[0.5, 0.5, 0.5], period=2)
+    state, obs = jax.jit(env.reset_fresh)(jax.random.PRNGKey(0))
+    assert env.planner_action_space.n_subspaces == 0
+    coin_i = env.world.res_idx("Coin")
+    state = state.replace(inventory=state.inventory.at[0, coin_i].set(40.0))
+    step = jax.jit(env.step)
+    a_noop = jnp.zeros(4, jnp.int32)
+    state, *_ = step(state, {"a": a_noop})
+    state, *_ = step(state, {"a": a_noop})  # enact at cycle 2
+    inv = np.asarray(state.inventory[:, coin_i])
+    # agent 0: 40 - 20 + 5 = 25; others: +5
+    np.testing.assert_allclose(inv, [25.0, 5.0, 5.0, 5.0], atol=1e-4)
+
+    env2 = make_env(tax_model="model_wrapper", disable_taxes=True, period=2)
+    assert env2.planner_action_space.n_subspaces == 0
+
+
+def test_saez_warmup_random_then_formula():
+    env = make_env(tax_model="saez", period=2, saez_buffer_size=24)
+    comp = env.get_component("PeriodicBracketTax")
+    state, obs = jax.jit(env.reset_fresh)(jax.random.PRNGKey(0))
+    coin_i = env.world.res_idx("Coin")
+    step = jax.jit(env.step)
+    a_noop = jnp.zeros(4, jnp.int32)
+    rates_seen = []
+    for t in range(14):
+        # keep feeding income so buffer entries vary
+        state = state.replace(
+            inventory=state.inventory.at[:, coin_i].add(
+                jnp.asarray([5.0, 10.0, 20.0, 40.0])
+            )
+        )
+        state, obs, *_ = step(state, {"a": a_noop})
+        cs = state.comp["PeriodicBracketTax"]
+        rates_seen.append(np.asarray(cs["curr_bracket_tax_rates"]).copy())
+    cs = state.comp["PeriodicBracketTax"]
+    # 7 tax days x 4 agents = 28 >= 24 buffer -> min samples reached
+    assert bool(cs["reached_min_samples"])
+    assert int(cs["buf_count"]) == 24
+    rates = np.asarray(cs["curr_bracket_tax_rates"])
+    assert np.all(rates >= 0.0) and np.all(rates <= 1.0)
+    assert np.all(np.isfinite(rates))
+    # elasticity tracker was updated away from init or stayed valid
+    assert np.isfinite(float(cs["elas_t"]))
+
+
+def test_wealth_redistribution_equalizes():
+    env = aet.make_env_instance(
+        "uniform/simple_wood_and_stone",
+        components=[("Gather", {}), ("WealthRedistribution", {})],
+        n_agents=4, world_size=[15, 15], episode_length=10,
+    )
+    state, obs = jax.jit(env.reset_fresh)(jax.random.PRNGKey(0))
+    coin_i = env.world.res_idx("Coin")
+    inv = state.inventory.at[:, coin_i].set(jnp.asarray([100.0, 0.0, 0.0, 0.0]))
+    state = state.replace(inventory=inv)
+    step = jax.jit(env.step)
+    state, *_ = step(state, {"a": jnp.zeros(4, jnp.int32)})
+    np.testing.assert_allclose(
+        np.asarray(state.inventory[:, coin_i]), [25.0] * 4, atol=1e-5
+    )
+
+
+def test_one_step_economy():
+    env = aet.make_env_instance(
+        "one-step-economy",
+        components=[
+            ("PeriodicBracketTax", {"period": 1, "tax_model": "us-federal-single-filer-2018-scaled"}),
+            ("SimpleLabor", {}),
+        ],
+        n_agents=4, world_size=[2, 2], episode_length=2,
+    )
+    state, obs = jax.jit(env.reset_fresh)(jax.random.PRNGKey(0))
+    # SimpleLabor first decision masked (t=0)
+    am = np.asarray(obs["a"]["action_mask"])
+    assert am[:, 1:].sum() == 0  # only NO-OP available at reset
+    step = jax.jit(env.step)
+    state, obs, rew, done, _ = step(state, {"a": jnp.zeros(4, jnp.int32)})
+    am = np.asarray(obs["a"]["action_mask"])
+    assert am.sum() == 4 * 101  # all labor actions available at t=1
+    # Work 50 hours each
+    state, obs, rew, done, _ = step(state, {"a": jnp.full((4,), 50, jnp.int32)})
+    assert bool(done)
+    skills = np.asarray(env.get_component("SimpleLabor").skills)
+    prod = np.asarray(state.agent_fields["production"])
+    np.testing.assert_allclose(prod, 50.0 * skills, rtol=1e-5)
+    labor = np.asarray(state.endogenous[:, env.world.endo_idx("Labor")])
+    np.testing.assert_allclose(labor, 50.0)
+    # Rewards reflect coin minus labor cost progression
+    assert np.all(np.isfinite(np.asarray(rew["a"])))
