@@ -4,6 +4,7 @@ foundation/components/__init__.py:7-17)."""
 from ai_economist_tpu.components import (  # noqa: F401
     build,
     cda,
+    covid19,
     move,
     redistribution,
     simple_labor,
