@@ -302,78 +302,75 @@ class ContinuousDoubleAuction(Component):
         def cond(s):
             return s["keep"] & s["possible"].any()
 
+        iota_k = jnp.arange(K, dtype=jnp.int32)
+        iota_n = jnp.arange(N, dtype=jnp.int32)
+
         def body(s):
             ib, ia = s["ib"], s["ia"]
             ibc = jnp.minimum(ib, K - 1)
             iac = jnp.minimum(ia, K - 1)
-            buyer = sbo[ibc]
-            seller = sao[iac]
+
+            # All per-slot reads use one-hot selects instead of dynamic
+            # gathers: batched dynamic gather/scatter inside a vmapped
+            # while_loop faults the TPU backend at large batch, and masked
+            # reductions over K (tiny) vectorize onto the VPU anyway.
+            selb = iota_k == ibc
+            sela = iota_k == iac
+            buyer = jnp.sum(jnp.where(selb, sbo, 0))
+            seller = jnp.sum(jnp.where(sela, sao, 0))
+            sbp_i = jnp.sum(jnp.where(selb, sbp, 0))
+            sap_i = jnp.sum(jnp.where(sela, sap, 0))
+            sbl_i = jnp.sum(jnp.where(selb, sbl, 0))
+            sal_i = jnp.sum(jnp.where(sela, sal, 0))
+            oselb = iota_n == buyer
 
             out_of_bids = ib >= K
-            bid_hole = ~s["b_active"][ibc]
-            buyer_dead = ~s["possible"][buyer]
+            bid_hole = ~jnp.any(selb & s["b_active"])
+            buyer_dead = ~jnp.any(oselb & s["possible"])
             out_of_asks = ia >= K
-            ask_hole = ~s["a_active"][iac]
+            ask_hole = ~jnp.any(sela & s["a_active"])
             self_trade = seller == buyer
-            no_cross = sbp[ibc] < sap[iac]
+            no_cross = sbp_i < sap_i
 
             # First-true priority mirrors cda.py:260-346 branch order, with
             # hole-skips standing in for the reference's list removals.
-            case = jnp.argmax(
-                jnp.array(
-                    [
-                        out_of_bids,            # 0: keep_checking = False
-                        bid_hole,               # 1: skip removed bid
-                        buyer_dead,             # 2: next bid
-                        out_of_asks,            # 3: buyer unmatchable
-                        ask_hole,               # 4: skip removed ask
-                        self_trade,             # 5: next ask
-                        no_cross,               # 6: buyer unmatchable
-                        jnp.array(True),        # 7: trade!
-                    ]
-                )
+            # Branchless: the eight transitions collapse to five predicated
+            # update groups (stop / skip-bid / kill-buyer / skip-ask / trade),
+            # each applied with masked arithmetic — one fused loop body.
+            is_stop = out_of_bids
+            is_skip_bid = ~is_stop & (bid_hole | buyer_dead)
+            pre = ~is_stop & ~is_skip_bid  # reached the ask-side checks
+            is_kill = pre & (
+                out_of_asks | (~ask_hole & ~self_trade & no_cross)
+            )
+            is_skip_ask = pre & ~out_of_asks & (ask_hole | self_trade)
+            is_trade = (
+                pre & ~out_of_asks & ~ask_hole & ~self_trade & ~no_cross
             )
 
-            def stop(s):
-                return {**s, "keep": jnp.zeros((), jnp.bool_)}
+            restart = is_kill | is_trade
+            zero = jnp.zeros((), jnp.int32)
+            tc = s["t_count"]
+            selt = (iota_k == jnp.minimum(tc, K - 1)) & is_trade
+            price = jnp.where(sbl_i <= sal_i, sap_i, sbp_i)
 
-            def skip_bid(s):
-                return {**s, "ib": ib + 1}
+            def put(arr, val):
+                return jnp.where(selt, val, arr)
 
-            def kill_buyer(s):
-                return {
-                    **s,
-                    "possible": s["possible"].at[buyer].set(False),
-                    "ib": jnp.zeros((), jnp.int32),
-                    "ia": jnp.zeros((), jnp.int32),
-                }
-
-            def skip_ask(s):
-                return {**s, "ia": ia + 1}
-
-            def trade(s):
-                tc = s["t_count"]
-                price = jnp.where(sbl[ibc] <= sal[iac], sap[iac], sbp[ibc])
-                return {
-                    **s,
-                    "b_active": s["b_active"].at[ibc].set(False),
-                    "a_active": s["a_active"].at[iac].set(False),
-                    "t_buyer": s["t_buyer"].at[tc].set(buyer),
-                    "t_seller": s["t_seller"].at[tc].set(seller),
-                    "t_price": s["t_price"].at[tc].set(price),
-                    "t_bidp": s["t_bidp"].at[tc].set(sbp[ibc]),
-                    "t_askp": s["t_askp"].at[tc].set(sap[iac]),
-                    "t_count": tc + 1,
-                    "ib": jnp.zeros((), jnp.int32),
-                    "ia": jnp.zeros((), jnp.int32),
-                }
-
-            return jax.lax.switch(
-                case,
-                [stop, skip_bid, skip_bid, kill_buyer, skip_ask, skip_ask,
-                 kill_buyer, trade],
-                s,
-            )
+            return {
+                "ib": jnp.where(restart, zero, ib + is_skip_bid),
+                "ia": jnp.where(restart, zero, ia + is_skip_ask),
+                "keep": s["keep"] & ~is_stop,
+                "possible": s["possible"] & ~(oselb & is_kill),
+                "b_active": s["b_active"] & ~(selb & is_trade),
+                "a_active": s["a_active"] & ~(sela & is_trade),
+                "t_buyer": put(s["t_buyer"], buyer),
+                "t_seller": put(s["t_seller"], seller),
+                "t_price": put(s["t_price"], price),
+                "t_bidp": put(s["t_bidp"], sbp_i),
+                "t_askp": put(s["t_askp"], sap_i),
+                "t_count": tc + is_trade,
+            }
 
         out = jax.lax.while_loop(cond, body, init)
 
