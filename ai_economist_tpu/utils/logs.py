@@ -24,8 +24,21 @@ try:  # the reference uses lz4 frames (foundation/utils.py:18-43)
 
     HAVE_LZ4 = True
 except ModuleNotFoundError:
-    _lz4 = None
-    HAVE_LZ4 = False
+    # Native C++ LZ4-frame codec (ai_economist_tpu/native/lz4frame.cpp):
+    # same .lz4 frame format, no python-lz4 needed.
+    from ai_economist_tpu import native as _native
+
+    if _native.available():
+
+        class _NativeLz4:
+            compress = staticmethod(_native.lz4_compress)
+            decompress = staticmethod(_native.lz4_decompress)
+
+        _lz4 = _NativeLz4
+        HAVE_LZ4 = True
+    else:
+        _lz4 = None
+        HAVE_LZ4 = False
 
 
 def save_episode_log(log: Dict[str, Any], filepath: str) -> str:
