@@ -289,9 +289,6 @@ class ContinuousDoubleAuction(Component):
 
         Z = jnp.zeros((K,), jnp.int32)
         init = dict(
-            ib=jnp.zeros((), jnp.int32),
-            ia=jnp.zeros((), jnp.int32),
-            keep=jnp.ones((), jnp.bool_),
             possible=jnp.ones((N,), jnp.bool_),
             b_active=sba,
             a_active=saa,
@@ -299,69 +296,55 @@ class ContinuousDoubleAuction(Component):
             t_buyer=Z, t_seller=Z, t_price=Z, t_bidp=Z, t_askp=Z,
         )
 
-        def cond(s):
-            return s["keep"] & s["possible"].any()
-
         iota_k = jnp.arange(K, dtype=jnp.int32)
         iota_n = jnp.arange(N, dtype=jnp.int32)
+        # One-hot owner matrix: possible-buyer lookups without dynamic
+        # gathers (batched dynamic gather/scatter inside a vmapped loop
+        # faults the TPU backend at large batch, and masked reductions over
+        # K (tiny) vectorize onto the VPU anyway).
+        bid_owner_oh = sbo[:, None] == iota_n[None, :]  # [K, N]
 
-        def body(s):
-            ib, ia = s["ib"], s["ia"]
-            ibc = jnp.minimum(ib, K - 1)
-            iac = jnp.minimum(ia, K - 1)
+        # The reference's nested scan-with-restarts (cda.py:260-346)
+        # collapses to at most K+N *rounds*: after every restart, the scan
+        # deterministically reaches the FIRST eligible bid (active, buyer
+        # still possible) and then the FIRST eligible ask (active, not
+        # self-trade) — the skip cases are just eligibility filters. Asks
+        # are price-ascending, so if that first eligible ask doesn't cross,
+        # none will: the buyer is killed — otherwise they trade. Each round
+        # therefore performs exactly one trade (≤ K) or one kill (≤ N), and
+        # a round with no eligible bid is a no-op, so a fixed-trip fori_loop
+        # of K+N fully-vectorized rounds reproduces the sequential machine.
 
-            # All per-slot reads use one-hot selects instead of dynamic
-            # gathers: batched dynamic gather/scatter inside a vmapped
-            # while_loop faults the TPU backend at large batch, and masked
-            # reductions over K (tiny) vectorize onto the VPU anyway.
-            selb = iota_k == ibc
-            sela = iota_k == iac
+        def body(_, s):
+            bid_elig = s["b_active"] & (bid_owner_oh & s["possible"]).any(-1)
+            has_bid = bid_elig.any()
+            b_first = jnp.argmax(bid_elig)  # first True (priority order)
+            selb = iota_k == b_first
             buyer = jnp.sum(jnp.where(selb, sbo, 0))
-            seller = jnp.sum(jnp.where(sela, sao, 0))
             sbp_i = jnp.sum(jnp.where(selb, sbp, 0))
-            sap_i = jnp.sum(jnp.where(sela, sap, 0))
             sbl_i = jnp.sum(jnp.where(selb, sbl, 0))
+
+            ask_elig = s["a_active"] & (sao != buyer)
+            has_ask = ask_elig.any()
+            a_first = jnp.argmax(ask_elig)
+            sela = iota_k == a_first
+            seller = jnp.sum(jnp.where(sela, sao, 0))
+            sap_i = jnp.sum(jnp.where(sela, sap, 0))
             sal_i = jnp.sum(jnp.where(sela, sal, 0))
-            oselb = iota_n == buyer
 
-            out_of_bids = ib >= K
-            bid_hole = ~jnp.any(selb & s["b_active"])
-            buyer_dead = ~jnp.any(oselb & s["possible"])
-            out_of_asks = ia >= K
-            ask_hole = ~jnp.any(sela & s["a_active"])
-            self_trade = seller == buyer
-            no_cross = sbp_i < sap_i
+            is_trade = has_bid & has_ask & (sbp_i >= sap_i)
+            is_kill = has_bid & ~is_trade
 
-            # First-true priority mirrors cda.py:260-346 branch order, with
-            # hole-skips standing in for the reference's list removals.
-            # Branchless: the eight transitions collapse to five predicated
-            # update groups (stop / skip-bid / kill-buyer / skip-ask / trade),
-            # each applied with masked arithmetic — one fused loop body.
-            is_stop = out_of_bids
-            is_skip_bid = ~is_stop & (bid_hole | buyer_dead)
-            pre = ~is_stop & ~is_skip_bid  # reached the ask-side checks
-            is_kill = pre & (
-                out_of_asks | (~ask_hole & ~self_trade & no_cross)
-            )
-            is_skip_ask = pre & ~out_of_asks & (ask_hole | self_trade)
-            is_trade = (
-                pre & ~out_of_asks & ~ask_hole & ~self_trade & ~no_cross
-            )
-
-            restart = is_kill | is_trade
-            zero = jnp.zeros((), jnp.int32)
             tc = s["t_count"]
             selt = (iota_k == jnp.minimum(tc, K - 1)) & is_trade
+            # Trade at the earlier order's price (cda.py:310-316).
             price = jnp.where(sbl_i <= sal_i, sap_i, sbp_i)
 
             def put(arr, val):
                 return jnp.where(selt, val, arr)
 
             return {
-                "ib": jnp.where(restart, zero, ib + is_skip_bid),
-                "ia": jnp.where(restart, zero, ia + is_skip_ask),
-                "keep": s["keep"] & ~is_stop,
-                "possible": s["possible"] & ~(oselb & is_kill),
+                "possible": s["possible"] & ~((iota_n == buyer) & is_kill),
                 "b_active": s["b_active"] & ~(selb & is_trade),
                 "a_active": s["a_active"] & ~(sela & is_trade),
                 "t_buyer": put(s["t_buyer"], buyer),
@@ -372,7 +355,7 @@ class ContinuousDoubleAuction(Component):
                 "t_count": tc + is_trade,
             }
 
-        out = jax.lax.while_loop(cond, body, init)
+        out = jax.lax.fori_loop(0, K + N, body, init, unroll=2)
 
         # Scatter surviving-order flags back to [N, M] slot layout.
         b_act_new = jnp.zeros((K,), jnp.bool_).at[b_ord].set(out["b_active"])
