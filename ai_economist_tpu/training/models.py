@@ -129,6 +129,107 @@ class MLPPolicy(nn.Module):
         return None
 
 
+class LinearPolicy(nn.Module):
+    """Single linear layer actor-critic (tf_models.py:320-383 KerasLinear).
+
+    Useful as the planner policy during phase-1 curriculum, where the
+    reference trains the planner with a linear model ("LINEAR" in
+    tutorials/rllib/phase1/config.yaml).
+    """
+
+    num_actions: int
+
+    @nn.compact
+    def __call__(self, obs: Dict[str, jnp.ndarray], carry=None):
+        parts = []
+        for k in ("world-map", "world-idx_map"):
+            if k in obs:
+                parts.append(obs[k].reshape(obs[k].shape[0], -1).astype(jnp.float32))
+        parts.append(obs["flat"])
+        if "time" in obs:
+            t = obs["time"]
+            parts.append(t if t.ndim == 2 else t[:, None])
+        if "pa" in obs:
+            parts.append(obs["pa"].reshape(obs["pa"].shape[0], -1))
+        x = jnp.concatenate(parts, axis=-1)
+        logits = apply_logit_mask(
+            nn.Dense(self.num_actions, name="logits")(x), obs.get("action_mask")
+        )
+        value = nn.Dense(1, name="value")(x)[..., 0]
+        return logits, value, carry
+
+    def initial_carry(self, batch_size: int):
+        return None
+
+
+class RandomPolicy(nn.Module):
+    """Uniform-over-valid-actions no-learn policy (tf_models.py:386-435
+    RandomAction): zero logits + mask, value head present but meaningless."""
+
+    num_actions: int
+
+    @nn.compact
+    def __call__(self, obs: Dict[str, jnp.ndarray], carry=None):
+        b = obs["flat"].shape[0]
+        # A throwaway parameter so init/apply have a non-empty param tree
+        # (mirrors the reference's untrainable value branch).
+        bias = self.param("value_bias", nn.initializers.zeros, (1,))
+        logits = apply_logit_mask(
+            jnp.zeros((b, self.num_actions)), obs.get("action_mask")
+        )
+        value = jnp.zeros((b,)) + bias[0] * 0.0
+        return logits, value, carry
+
+    def initial_carry(self, batch_size: int):
+        return None
+
+
+class DeterministicPolicy:
+    """Frozen argmax wrapper around a trained policy
+    (real_business_cycle/rbc/networks.py:95-115): used to hold one agent
+    class fixed during best-response training. Not a flax module — wraps
+    (model, params) and exposes the same (logits, value, carry) interface
+    with one-hot argmax logits and stopped gradients."""
+
+    def __init__(self, model, params):
+        self.model = model
+        self.params = params
+
+    def __call__(self, obs, carry=None):
+        logits, value, carry = self.model.apply(self.params, obs, carry)
+        logits = jax.lax.stop_gradient(logits)
+        greedy = jnp.argmax(logits, axis=-1)
+        one_hot = jax.nn.one_hot(greedy, logits.shape[-1])
+        det_logits = apply_logit_mask(one_hot * 1e9, obs.get("action_mask"))
+        return det_logits, jax.lax.stop_gradient(value), carry
+
+    def initial_carry(self, batch_size: int):
+        return self.model.initial_carry(batch_size)
+
+
+def expand_to_digit_form(x, max_magnitude: float = 1e6, base: int = 10):
+    """Expand large-magnitude features into per-digit channels
+    (real_business_cycle/rbc/util.py:82-112): each value v >= 0 becomes
+    [d_0/base, d_1/base, ...] over `ceil(log_base(max_magnitude))` digits,
+    keeping every input channel O(1) for the policy MLP. Vectorized: x
+    [..., F] -> [..., F * n_digits]."""
+    import math
+
+    n_digits = max(1, int(math.ceil(math.log(max_magnitude) / math.log(base))))
+    v = jnp.maximum(x, 0.0)
+    digits = []
+    for d in range(n_digits):
+        digits.append(jnp.floor(v / (base ** d)) % base / float(base))
+    return jnp.concatenate(digits, axis=-1)
+
+
+def size_after_digit_expansion(n_features: int, max_magnitude: float = 1e6, base: int = 10):
+    import math
+
+    n_digits = max(1, int(math.ceil(math.log(max_magnitude) / math.log(base))))
+    return n_features * n_digits
+
+
 def sample_multi_subspace(key, logits, action_dims):
     """Sample one action per subspace from flat masked logits.
 

@@ -27,7 +27,9 @@ from flax import struct
 from ai_economist_tpu.core.env import TpuEnv
 from ai_economist_tpu.training.models import (
     ConvLSTMPolicy,
+    LinearPolicy,
     MLPPolicy,
+    RandomPolicy,
     multi_subspace_entropy,
     multi_subspace_log_prob,
     sample_multi_subspace,
@@ -83,9 +85,20 @@ class TwoLevelTrainer:
         p_actions = self.p_layout.total_actions
         self.has_planner_actions = self.p_layout.n_subspaces > 0
 
-        model_cls = {"conv_lstm": ConvLSTMPolicy, "mlp": MLPPolicy}[model]
-        self.model_a = model_cls(num_actions=a_actions, **(model_kwargs or {}))
-        self.model_p = model_cls(
+        model_classes = {
+            "conv_lstm": ConvLSTMPolicy,
+            "mlp": MLPPolicy,
+            "linear": LinearPolicy,
+            "random": RandomPolicy,
+        }
+        if isinstance(model, str):
+            model_a_name = model_p_name = model
+        else:  # ("conv_lstm", "linear") style per-policy pair
+            model_a_name, model_p_name = model
+        self.model_a = model_classes[model_a_name](
+            num_actions=a_actions, **(model_kwargs or {})
+        )
+        self.model_p = model_classes[model_p_name](
             num_actions=p_actions, **(planner_model_kwargs or model_kwargs or {})
         )
         self.tx = optax.chain(

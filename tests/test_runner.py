@@ -1,0 +1,173 @@
+"""Tests for the YAML training runner, extra policy models, the consistency
+checker, and profiling hooks."""
+
+import os
+import textwrap
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import ai_economist_tpu as aet
+
+
+def tiny_env(**over):
+    kw = dict(
+        components=[
+            ("Build", {}),
+            ("Gather", {}),
+        ],
+        n_agents=2,
+        world_size=[8, 8],
+        episode_length=12,
+    )
+    kw.update(over)
+    return aet.make_env_instance("uniform/simple_wood_and_stone", **kw)
+
+
+def test_linear_and_random_policies_forward():
+    from ai_economist_tpu.training.models import LinearPolicy, RandomPolicy
+
+    env = tiny_env()
+    state, obs = env.reset_fresh(jax.random.PRNGKey(0))
+    n_act = env.agent_action_space.total_actions
+    obs_a = {k: v for k, v in obs["a"].items()}
+
+    for cls in (LinearPolicy, RandomPolicy):
+        model = cls(num_actions=n_act)
+        params = model.init(jax.random.PRNGKey(1), obs_a, None)
+        logits, value, _ = model.apply(params, obs_a, None)
+        assert logits.shape == (env.n_agents, n_act)
+        assert value.shape == (env.n_agents,)
+        # Masked actions get the -1e7 penalty.
+        mask = obs_a["action_mask"]
+        assert bool(jnp.all(logits[mask == 0] < -1e6))
+
+
+def test_deterministic_policy_and_digit_expansion():
+    from ai_economist_tpu.training.models import (
+        DeterministicPolicy,
+        MLPPolicy,
+        expand_to_digit_form,
+        size_after_digit_expansion,
+    )
+
+    env = tiny_env()
+    state, obs = env.reset_fresh(jax.random.PRNGKey(0))
+    n_act = env.agent_action_space.total_actions
+    obs_a = {"flat": obs["a"]["flat"], "action_mask": obs["a"]["action_mask"]}
+    model = MLPPolicy(num_actions=n_act)
+    params = model.init(jax.random.PRNGKey(1), obs_a, None)
+    det = DeterministicPolicy(model, params)
+    logits, _, _ = det(obs_a)
+    # Deterministic: exactly one dominant action per agent.
+    assert bool(jnp.all((logits > 1e8).sum(-1) == 1))
+
+    x = jnp.asarray([[0.0, 123.0, 45678.0]])
+    d = expand_to_digit_form(x, max_magnitude=1e6)
+    assert d.shape[-1] == size_after_digit_expansion(3, 1e6)
+    assert bool(jnp.all(d >= 0.0)) and bool(jnp.all(d < 1.0))
+
+
+def test_consistency_checker_passes_and_detects():
+    from ai_economist_tpu.utils.consistency import run_consistency_check
+
+    env = tiny_env()
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:2]), ("env",))
+    devs = run_consistency_check(env, num_envs=2, steps=6, mesh=mesh)
+    assert set(devs) == {"jit", "sharded"}
+    assert all(v <= 1e-5 for v in devs.values())
+
+
+def test_trainer_with_linear_planner():
+    from ai_economist_tpu.training.ppo import PPOConfig
+    from ai_economist_tpu.training.trainer import TwoLevelTrainer
+
+    env = tiny_env(
+        components=[
+            ("Build", {}),
+            ("Gather", {}),
+            ("PeriodicBracketTax", {"period": 6, "tax_model": "model_wrapper"}),
+        ]
+    )
+    trainer = TwoLevelTrainer(
+        env,
+        num_envs=2,
+        cfg=PPOConfig(rollout_len=4, epochs=1),
+        model=("mlp", "linear"),
+    )
+    ts = trainer.init(jax.random.PRNGKey(0))
+    ts, metrics = trainer.train_iteration(ts, 0.02, 0.02)
+    assert np.isfinite(float(metrics["a/policy_loss"]))
+    assert np.isfinite(float(metrics["p/policy_loss"]))
+
+
+def test_yaml_runner_end_to_end(tmp_path):
+    from ai_economist_tpu.training import run as runner
+
+    cfg = textwrap.dedent(
+        """
+        env:
+          scenario_name: uniform/simple_wood_and_stone
+          n_agents: 2
+          world_size: [8, 8]
+          episode_length: 8
+          components:
+            - Build: {}
+            - Gather: {}
+            - PeriodicBracketTax:
+                period: 4
+                tax_model: model_wrapper
+        models:
+          agents: mlp
+          planner: linear
+        trainer:
+          num_envs: 2
+          rollout_len: 4
+          epochs: 1
+          train_planner: true
+          entropy_schedule_planner:
+            - [0, 0.5]
+            - [2, 0.1]
+        general:
+          seed: 0
+          num_iterations: 2
+          save_every: 1
+          dense_log_every: 1
+          log_every: 1
+        """
+    )
+    run_dir = tmp_path / "run1"
+    run_dir.mkdir()
+    (run_dir / "config.yaml").write_text(cfg)
+
+    ts = runner.main(str(run_dir))
+    assert int(ts.iteration) == 2
+    # Checkpoints + dense logs + warm-start params written.
+    assert os.path.isdir(run_dir / "ckpts")
+    assert any(f.startswith("dense_log") for f in os.listdir(run_dir / "dense_logs"))
+    assert any(f.startswith("agent_params") for f in os.listdir(run_dir))
+
+    # Restore path: re-running is a no-op (already at num_iterations).
+    ts2 = runner.main(str(run_dir))
+    assert int(ts2.iteration) == 2
+
+    # Piecewise schedule interpolates.
+    sched = runner.piecewise([[0, 0.5], [10, 0.0]], 1.0)
+    assert abs(sched(5) - 0.25) < 1e-9
+
+
+def test_step_timer_and_trace(tmp_path):
+    from ai_economist_tpu.utils.profiling import StepTimer, trace
+
+    timer = StepTimer(num_envs=4)
+    x = jnp.ones((8, 8))
+    with timer.phase("matmul", steps=3, block_on=x):
+        y = x @ x
+    s = timer.stats()["matmul"]
+    assert s["steps"] == 3 and s["total_s"] > 0
+
+    with trace(str(tmp_path / "trace")):
+        jnp.ones((4,)).sum().block_until_ready()
+    assert os.path.isdir(tmp_path / "trace")
