@@ -11,9 +11,10 @@ batch with `jax.vmap` and shard over a `jax.sharding.Mesh`.
 
 Public API (mirrors reference foundation/__init__.py:7-18):
     make_env_instance(scenario_name, **env_config) -> TpuEnv
-    scenarios / components / resources / landmarks / endogenous registries
+    scenarios / components / agents / resources / landmarks / endogenous registries
 """
 
+from ai_economist_tpu.core.agents import agent_registry as agents
 from ai_economist_tpu.core.entities import (
     endogenous_registry as endogenous,
     landmark_registry as landmarks,
@@ -39,6 +40,7 @@ __all__ = [
     "EnvState",
     "scenarios",
     "components",
+    "agents",
     "resources",
     "landmarks",
     "endogenous",
