@@ -74,7 +74,14 @@ class Gather(Component):
         return state.replace(agent_fields=fields)
 
     # ------------------------------------------------------------------
-    def step(self, state: EnvState, a_actions, p_actions, key) -> EnvState:
+    def step(self, state: EnvState, a_actions, p_actions, key, draws=None) -> EnvState:
+        """One Gather step.
+
+        `draws` (parity injection): {"order": [N] int32 agent permutation,
+        "bonus": [N, C] float32 uniforms in collectible order} — the draws the
+        reference consumes as np.random.permutation (world.py:418-422) and one
+        rand() per gather event (move.py:138).
+        """
         spec = self.spec
         n = self.n_agents
         H, Wd = spec.height, spec.width
@@ -83,10 +90,14 @@ class Gather(Component):
         colls = spec.collectibles
         res_cols = jnp.array([spec.res_idx(r) for r in colls], jnp.int32)
 
-        k_perm, k_bonus = jax.random.split(key)
-        order = jax.random.permutation(k_perm, n)
-        # One bonus-collection coin flip per (agent, collectible) per step.
-        bonus_draws = jax.random.uniform(k_bonus, (n, len(colls)))
+        if draws is not None:
+            order = jnp.asarray(draws["order"], jnp.int32)
+            bonus_draws = jnp.asarray(draws["bonus"], jnp.float32)
+        else:
+            k_perm, k_bonus = jax.random.split(key)
+            order = jax.random.permutation(k_perm, n)
+            # One bonus-collection coin flip per (agent, collectible) per step.
+            bonus_draws = jax.random.uniform(k_bonus, (n, len(colls)))
 
         access = W.accessibility(spec, state)  # [N, H, W] (static this step)
         res_stack = jnp.stack([state.maps[r] for r in colls])  # [C, H, W]

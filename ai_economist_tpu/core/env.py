@@ -223,13 +223,25 @@ class TpuEnv:
     # step
     # ------------------------------------------------------------------
     def step(
-        self, state: EnvState, actions: Dict[str, jnp.ndarray]
+        self,
+        state: EnvState,
+        actions: Dict[str, jnp.ndarray],
+        draws: Optional[Dict[str, Any]] = None,
     ) -> Tuple[EnvState, Dict, Dict, jnp.ndarray, Dict]:
         """One env timestep. actions = {"a": ..., "p": ...}.
 
         "a": [N] int32 (single-action mode) or [N, S_a] (multi mode).
         "p": [S_p] int32 (multi mode, default) or scalar (single mode).
         Returns (state, obs, rew, done, info).
+
+        `draws` (optional) injects explicit random draws in place of the
+        key-derived ones — the RNG-injection mode used by the reference-parity
+        harness (tests/reference_compat/): a dict keyed by component name plus
+        "scenario", each value a component-specific pytree of recorded draws
+        (see each component's `step` docstring). The reference records the
+        equivalent numpy draws via its replay-log mechanism
+        (reference base_env.py:454-471); injecting them here yields bit-exact
+        trajectory parity despite the threefry-vs-MT19937 generator mismatch.
         """
         a_dec = self.layouts["BasicMobileAgent"].decode(
             jnp.asarray(actions.get("a", jnp.zeros((self.n_agents,), jnp.int32)))
@@ -250,9 +262,15 @@ class TpuEnv:
         for comp, kc in zip(self.components, k_comps):
             sub_a = {n: a_dec[n] for n in a_dec if n.split(".")[0] == comp.name}
             sub_p = {n: p_dec[n] for n in p_dec if n.split(".")[0] == comp.name}
-            state = comp.step(state, sub_a, sub_p, kc)
+            if draws is not None and comp.name in draws:
+                state = comp.step(state, sub_a, sub_p, kc, draws=draws[comp.name])
+            else:
+                state = comp.step(state, sub_a, sub_p, kc)
 
-        state = self.scenario.step(state, k_scen)
+        if draws is not None and "scenario" in draws:
+            state = self.scenario.step(state, k_scen, draws=draws["scenario"])
+        else:
+            state = self.scenario.step(state, k_scen)
 
         obs = self.observations(state)
         state, rew = self.scenario.reward(state)

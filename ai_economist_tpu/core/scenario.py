@@ -49,8 +49,11 @@ class Scenario:
         return state
 
     # --- dynamics ---------------------------------------------------------
-    def step(self, state: EnvState, key) -> EnvState:
-        """Passive world dynamics, run after all component steps."""
+    def step(self, state: EnvState, key, draws=None) -> EnvState:
+        """Passive world dynamics, run after all component steps.
+
+        `draws` optionally injects explicit random values for the
+        reference-parity harness (see TpuEnv.step)."""
         return state
 
     # --- observation / reward --------------------------------------------

@@ -293,13 +293,18 @@ class Uniform(Scenario):
     # ------------------------------------------------------------------
     # dynamics
     # ------------------------------------------------------------------
-    def step(self, state: EnvState, key) -> EnvState:
-        """Stochastic resource regrowth (dynamic_layout.py:433-471)."""
+    def step(self, state: EnvState, key, draws=None) -> EnvState:
+        """Stochastic resource regrowth (dynamic_layout.py:433-471).
+
+        `draws` (parity injection): {"regrow": [2, H, W] float32} — the uniform
+        fields the reference draws as np.random.rand(H, W) for Wood then Stone
+        (dynamic_layout.py:445-471).
+        """
         spec = self.spec
         maps = dict(state.maps)
         empty = W.empty_map(spec, state)
         keys = jax.random.split(key, 2)
-        for kk, res in zip(keys, ("Wood", "Stone")):
+        for idx, (kk, res) in enumerate(zip(keys, ("Wood", "Stone"))):
             cfg = self.layout_specs[res]
             d = 1 + 2 * cfg["regen_halfwidth"]
             res_map = maps[res]
@@ -311,9 +316,11 @@ class Uniform(Scenario):
             else:
                 kernel = jnp.full((d, d), cfg["regen_weight"] / (d * d))
                 regen_prob = _conv2d_same(health, kernel)
-            respawn = (
-                jax.random.uniform(kk, res_map.shape) < regen_prob
-            ) & spawnable
+            if draws is not None:
+                uniforms = jnp.asarray(draws["regrow"][idx], jnp.float32)
+            else:
+                uniforms = jax.random.uniform(kk, res_map.shape)
+            respawn = (uniforms < regen_prob) & spawnable
             maps[res] = jnp.minimum(
                 res_map + respawn.astype(jnp.float32), float(cfg["max_health"])
             )

@@ -7,9 +7,18 @@ XLA's host-platform device emulation instead.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Force CPU: the ambient environment sets JAX_PLATFORMS=axon (the real TPU
+# tunnel), but semantics tests belong on the virtual 8-device CPU mesh — the
+# single chip is reserved for bench.py.
+os.environ["JAX_PLATFORMS"] = "cpu"
+# Persistent compilation cache inside the repo: /tmp does not survive between
+# CI sessions, and the suite's wall time is dominated by XLA compiles of the
+# while_loop-heavy resets and the Saez tax graphs.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(_REPO, ".jax_cache"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
