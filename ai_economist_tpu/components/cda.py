@@ -123,7 +123,17 @@ class ContinuousDoubleAuction(Component):
         n_trades = cs["n_trades"]
 
         agent_ids = jnp.arange(N, dtype=jnp.int32)
+        res_cols = jnp.array(
+            [spec.res_idx(c) for c in self.commodities], jnp.int32
+        )
 
+        # Phase ordering parity (cda.py:439-489): the reference creates orders
+        # for ALL commodities first, then matches, then expires — coin freed
+        # by one commodity's trades must NOT fund another commodity's bids in
+        # the same step. Creation stays a (cheap, static) per-commodity loop
+        # to preserve the per-agent bid-then-ask escrow sequence; matching is
+        # vmapped over the commodity axis so the sequential match rounds of
+        # the books run in parallel.
         for ci, c in enumerate(self.commodities):
             c_res = spec.res_idx(c)
 
@@ -175,30 +185,27 @@ class ContinuousDoubleAuction(Component):
             esc = esc.at[:, c_res].add(df)
             endo = endo.at[:, lab_i].add(df * self.order_labor)
 
-            # ----- match (cda.py:231-350) -----
-            (
-                b_act_c,
-                a_act_c,
-                t_buyer,
-                t_seller,
-                t_price,
-                t_bidp,
-                t_askp,
-                t_count,
-            ) = self._match(
-                b_price[ci], b_life[ci], b_act[ci],
-                a_price[ci], a_life[ci], a_act[ci],
-            )
-            b_act = b_act.at[ci].set(b_act_c)
-            a_act = a_act.at[ci].set(a_act_c)
+        # ----- match all commodities (cda.py:231-350) -----
+        (
+            b_act,
+            a_act,
+            t_buyer,
+            t_seller,
+            t_price,
+            t_bidp,
+            t_askp,
+            t_count,
+        ) = jax.vmap(self._match)(b_price, b_life, b_act, a_price, a_life, a_act)
 
-            valid = (jnp.arange(K) < t_count)
+        for ci, c in enumerate(self.commodities):
+            c_res = spec.res_idx(c)
+            valid = (jnp.arange(K) < t_count[ci])
             vf = valid.astype(jnp.float32)
-            tb = jnp.where(valid, t_buyer, 0)
-            ts = jnp.where(valid, t_seller, 0)
-            tp = jnp.where(valid, t_price, 0)
-            tpb = jnp.where(valid, t_bidp, 0)
-            tpa = jnp.where(valid, t_askp, 0)
+            tb = jnp.where(valid, t_buyer[ci], 0)
+            ts = jnp.where(valid, t_seller[ci], 0)
+            tp = jnp.where(valid, t_price[ci], 0)
+            tpb = jnp.where(valid, t_bidp[ci], 0)
+            tpa = jnp.where(valid, t_askp[ci], 0)
             tpf = tp.astype(jnp.float32)
 
             # Settlement (cda.py:327-343)
@@ -218,33 +225,33 @@ class ContinuousDoubleAuction(Component):
             sell_ps = sell_ps.at[ci, ts].add(vf * tpf)
             buy_n = buy_n.at[ci, tb].add(valid.astype(jnp.int32))
             buy_ps = buy_ps.at[ci, tb].add(vf * tpf)
-            n_trades = n_trades + t_count
+            n_trades = n_trades + t_count[ci]
 
-            # ----- expire (cda.py:352-406) -----
-            b_life = b_life.at[ci].add(b_act[ci].astype(jnp.int32))
-            a_life = a_life.at[ci].add(a_act[ci].astype(jnp.int32))
-            b_exp = b_act[ci] & (b_life[ci] > self.order_duration)
-            a_exp = a_act[ci] & (a_life[ci] > self.order_duration)
-            # refund bids: escrowed coin back to inventory
-            refund = (b_exp.astype(jnp.float32) * b_price[ci]).sum(axis=1)
-            esc = esc.at[:, coin_i].add(-refund)
-            inv = inv.at[:, coin_i].add(refund)
-            # refund asks: escrowed unit back to inventory
-            unit = a_exp.astype(jnp.float32).sum(axis=1)
-            esc = esc.at[:, c_res].add(-unit)
-            inv = inv.at[:, c_res].add(unit)
-            # histogram/order-count bookkeeping
-            bid_hist = bid_hist.at[ci].add(
-                -(jax.nn.one_hot(b_price[ci], P) * b_exp[..., None]).sum(axis=1)
-            )
-            ask_hist = ask_hist.at[ci].add(
-                -(jax.nn.one_hot(a_price[ci], P) * a_exp[..., None]).sum(axis=1)
-            )
-            n_orders = n_orders.at[ci].add(
-                -(b_exp.sum(axis=1) + a_exp.sum(axis=1)).astype(jnp.int32)
-            )
-            b_act = b_act.at[ci].set(b_act[ci] & ~b_exp)
-            a_act = a_act.at[ci].set(a_act[ci] & ~a_exp)
+        # ----- expire, all commodities at once (cda.py:352-406) -----
+        b_life = b_life + b_act.astype(jnp.int32)
+        a_life = a_life + a_act.astype(jnp.int32)
+        b_exp = b_act & (b_life > self.order_duration)
+        a_exp = a_act & (a_life > self.order_duration)
+        # refund bids: escrowed coin back to inventory
+        refund = (b_exp.astype(jnp.float32) * b_price).sum(axis=(0, 2))  # [N]
+        esc = esc.at[:, coin_i].add(-refund)
+        inv = inv.at[:, coin_i].add(refund)
+        # refund asks: escrowed unit back to inventory
+        unit = a_exp.astype(jnp.float32).sum(axis=2)  # [C, N]
+        esc = esc.at[:, res_cols].add(-unit.T)
+        inv = inv.at[:, res_cols].add(unit.T)
+        # histogram/order-count bookkeeping
+        bid_hist = bid_hist - (
+            jax.nn.one_hot(b_price, P) * b_exp[..., None]
+        ).sum(axis=2)
+        ask_hist = ask_hist - (
+            jax.nn.one_hot(a_price, P) * a_exp[..., None]
+        ).sum(axis=2)
+        n_orders = n_orders - (
+            b_exp.sum(axis=2) + a_exp.sum(axis=2)
+        ).astype(jnp.int32)
+        b_act = b_act & ~b_exp
+        a_act = a_act & ~a_exp
 
         comp = {
             **state.comp,

@@ -203,10 +203,16 @@ def extract_state(ref_env, tpu_env, key):
         inventory=jnp.asarray(inventory),
         escrow=jnp.asarray(escrow),
         endogenous=jnp.asarray(endogenous),
-        agent_fields=agent_fields,
         p_inventory=jnp.asarray(p_inventory),
         p_escrow=jnp.asarray(p_escrow),
     )
+    # Run component resets so state-dependent private state initializes from
+    # the injected inventories (e.g. PeriodicBracketTax.last_coin = current
+    # endowment, reference redistribution.py:1109-1139) — then re-apply the
+    # reference's sampled agent fields, which component resets resample.
+    for comp in tpu_env.components:
+        state = comp.reset(state, key)
+    state = state.replace(agent_fields=agent_fields)
     # Initialize scenario reward trackers from the injected state, as the
     # reference does at the end of its reset (dynamic_layout.py:564-593).
     state = tpu_env.scenario.additional_reset(state, key)
