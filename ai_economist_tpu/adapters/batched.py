@@ -1,16 +1,24 @@
-"""BatchedEnv: vmapped env replicas with WarpDrive-style auto-reset.
+"""BatchedEnv: vmapped env replicas with in-graph auto-reset.
 
 Plays the role of the reference FoundationEnvWrapper's GPU path
 (ai_economist/foundation/env_wrapper.py:199-377): thousands of env replicas
-stepping in lockstep on device, resetting themselves by re-applying a saved
-post-reset state checkpoint when done (the `save_copy_and_apply_at_reset`
-semantics of env_wrapper.py:291-338). Optionally shards the env axis over a
-device mesh.
+stepping in lockstep on device. Two auto-reset flavors:
+
+  * "rewind" — re-apply a saved post-reset state checkpoint when done (the
+    WarpDrive `save_copy_and_apply_at_reset` semantics of
+    env_wrapper.py:291-338). Every episode of a replica replays the same
+    layout/skills.
+  * "fresh" — run a full re-randomized `reset_fresh` in-graph on episode
+    boundaries (the RLlib-path semantics the paper curricula use: a new
+    `reset()` per episode, tutorials/rllib/env_wrapper.py:207-211). This is
+    the right mode for training; the reset is only computed on steps where
+    some replica actually finished (`lax.cond` on `done.any()`).
+
+Optionally shards the env axis over a device mesh.
 """
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict, Optional
 
 import jax
@@ -21,25 +29,100 @@ from ai_economist_tpu.core.state import EnvState
 from ai_economist_tpu.parallel.mesh import shard_batch
 
 
+def _merge_where_done(done, fresh, current):
+    """Per-leaf select: done replicas take `fresh`, others keep `current`."""
+
+    def pick(f, c):
+        d = done.reshape(done.shape + (1,) * (c.ndim - 1))
+        return jnp.where(d, f, c)
+
+    return jax.tree.map(pick, fresh, current)
+
+
+def auto_reset_step(
+    env: TpuEnv,
+    states: EnvState,
+    actions: Dict[str, jnp.ndarray],
+    initial_states: Optional[EnvState] = None,
+    reset_mode: str = "fresh",
+):
+    """vmapped env.step + in-graph auto-reset of done replicas.
+
+    Shared by BatchedEnv and the trainers. `reset_mode`:
+      * "fresh"  — re-randomized reset_fresh per done replica (reference
+        RLlib-path behavior, tutorials/rllib/env_wrapper.py:207-211).
+      * "rewind" — rewind to `initial_states` (WarpDrive behavior,
+        env_wrapper.py:291-338); requires `initial_states`.
+      * "none"   — no auto-reset.
+    Returns (states, obs, rew, done, info); obs for done replicas describes
+    the post-reset state so the policy's next action is valid.
+    """
+    step = jax.vmap(env.step)
+    nstates, obs, rew, done, info = step(states, actions)
+    if reset_mode == "none":
+        return nstates, obs, rew, done, info
+
+    if reset_mode == "rewind":
+        if initial_states is None:
+            raise ValueError("reset_mode='rewind' requires initial_states")
+
+        reset_states = _merge_where_done(done, initial_states, nstates)
+        # Preserve RNG stream + episode counters through the rewind.
+        reset_states = reset_states.replace(
+            key=nstates.key, completions=nstates.completions
+        )
+        obs = jax.lax.cond(
+            done.any(),
+            lambda s: jax.vmap(env.observations)(s),
+            lambda s: obs,
+            reset_states,
+        )
+        return reset_states, obs, rew, done, info
+
+    if reset_mode != "fresh":
+        raise ValueError(f"unknown reset_mode {reset_mode!r}")
+
+    def do_fresh(nstates, obs):
+        # A reset key disjoint from the step stream: fold a constant into the
+        # post-step per-env key.
+        rkeys = jax.vmap(lambda k: jax.random.fold_in(k, 0x5EED))(nstates.key)
+        fresh_states, fresh_obs = jax.vmap(env.reset_fresh)(rkeys)
+        merged = _merge_where_done(done, fresh_states, nstates)
+        # Episode counters are cumulative across resets.
+        merged = merged.replace(completions=nstates.completions)
+        return merged, _merge_where_done(done, fresh_obs, obs)
+
+    nstates, obs = jax.lax.cond(
+        done.any(), do_fresh, lambda s, o: (s, o), nstates, obs
+    )
+    return nstates, obs, rew, done, info
+
+
 class BatchedEnv:
     """num_envs lockstep replicas of a TpuEnv.
 
     reset(key) -> (states, obs); step(states, actions) -> (states, obs, rew,
-    done, info). All arrays carry a leading [num_envs] axis. If auto_reset,
-    done replicas are rewound to their saved post-reset state with a fresh
-    RNG key (resample-free, like WarpDrive); call `reset` to re-randomize.
+    done, info). All arrays carry a leading [num_envs] axis. `auto_reset`
+    picks the reset flavor: True/"rewind" = WarpDrive checkpoint rewind,
+    "fresh" = re-randomized in-graph reset, False/"none" = no auto-reset.
     """
 
     def __init__(
         self,
         env: TpuEnv,
         num_envs: int,
-        auto_reset: bool = True,
+        auto_reset=True,
         mesh=None,
     ):
         self.env = env
         self.num_envs = int(num_envs)
-        self.auto_reset = bool(auto_reset)
+        if auto_reset is True:
+            self.reset_mode = "rewind"
+        elif auto_reset is False:
+            self.reset_mode = "none"
+        else:
+            self.reset_mode = str(auto_reset)
+        self.auto_reset = self.reset_mode != "none"
         self.mesh = mesh
         self._initial_states: Optional[EnvState] = None
 
@@ -55,29 +138,9 @@ class BatchedEnv:
         return states, obs
 
     def _step_impl(self, states, actions, initial_states):
-        step = jax.vmap(self.env.step)
-        nstates, obs, rew, done, info = step(states, actions)
-        if self.auto_reset:
-            def pick(init, cur):
-                d = done.reshape(done.shape + (1,) * (cur.ndim - 1))
-                return jnp.where(d, init, cur)
-
-            reset_states = jax.tree.map(pick, initial_states, nstates)
-            # Preserve RNG stream + episode counters through the rewind.
-            reset_states = reset_states.replace(
-                key=nstates.key, completions=nstates.completions
-            )
-            nstates = reset_states
-            # Done replicas' obs must describe the rewound (fresh) state so
-            # the policy's next action is valid; only pay for the recompute
-            # on steps where something actually finished.
-            obs = jax.lax.cond(
-                done.any(),
-                lambda s: jax.vmap(self.env.observations)(s),
-                lambda s: obs,
-                nstates,
-            )
-        return nstates, obs, rew, done, info
+        return auto_reset_step(
+            self.env, states, actions, initial_states, self.reset_mode
+        )
 
     def step(self, states, actions: Dict[str, jnp.ndarray]):
         assert self._initial_states is not None, "call reset() first"

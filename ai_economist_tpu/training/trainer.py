@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
+from ai_economist_tpu.adapters.batched import auto_reset_step
 from ai_economist_tpu.core.env import TpuEnv
 from ai_economist_tpu.training.models import (
     ConvLSTMPolicy,
@@ -73,12 +74,17 @@ class TwoLevelTrainer:
         train_planner: bool = True,
         model_kwargs: Optional[dict] = None,
         planner_model_kwargs: Optional[dict] = None,
+        reset_mode: str = "fresh",
     ):
         self.env = env
         self.num_envs = int(num_envs)
         self.cfg = cfg or PPOConfig()
         self.n_agents = env.n_agents
         self.train_planner = bool(train_planner)
+        # "fresh" = re-randomized episode layouts (the RLlib-path behavior the
+        # paper curricula train on, tutorials/rllib/env_wrapper.py:207-211);
+        # "rewind" = WarpDrive checkpoint rewind (env_wrapper.py:291-338).
+        self.reset_mode = reset_mode
 
         a_actions = env.agent_action_space.total_actions
         self.p_layout = env.planner_action_space
@@ -136,25 +142,12 @@ class TwoLevelTrainer:
         )
 
     # ------------------------------------------------------------------
-    def _env_step(self, env_states, actions, done_template=None):
-        step = jax.vmap(self.env.step)
-        nstates, obs, rew, done, _ = step(env_states, actions)
-
-        def pick(init, cur):
-            d = done.reshape(done.shape + (1,) * (cur.ndim - 1))
-            return jnp.where(d, init, cur)
-
-        reset_states = jax.tree.map(pick, self._initial_states, nstates)
-        reset_states = reset_states.replace(
-            key=nstates.key, completions=nstates.completions
+    def _env_step(self, env_states, actions):
+        nstates, obs, rew, done, _ = auto_reset_step(
+            self.env, env_states, actions, self._initial_states,
+            self.reset_mode,
         )
-        obs = jax.lax.cond(
-            done.any(),
-            lambda s: jax.vmap(self.env.observations)(s),
-            lambda s: obs,
-            reset_states,
-        )
-        return reset_states, obs, rew, done
+        return nstates, obs, rew, done
 
     def _policy_a(self, params, obs, carry):
         obs_a = _fold2(_select(obs["a"], A_OBS_KEYS))
@@ -246,12 +239,17 @@ class TwoLevelTrainer:
     # ------------------------------------------------------------------
     def _update_policy(
         self, model, params, opt_state, obs_seq, init_carry, act, logp_old,
-        adv, ret, entropy_coef, multi_dims=None,
+        adv, ret, entropy_coef, key, multi_dims=None,
     ):
-        """One PPO epoch over the whole rollout (BPTT from init_carry)."""
+        """One PPO epoch over the rollout (BPTT from init_carry).
+
+        Minibatches along the batch (env×agent) axis — each minibatch keeps
+        its full T-length window and its own init_carry slice, so truncated
+        BPTT stays intact (the reference trains with sgd_minibatch_size:
+        3000, tutorials/rllib/phase1/config.yaml)."""
         cfg = self.cfg
 
-        def loss_fn(p):
+        def loss_fn(p, mb):
             def scan_step(carry, xs):
                 obs_t, act_t = xs
                 logits, value, carry = model.apply(p, obs_t, carry)
@@ -267,28 +265,49 @@ class TwoLevelTrainer:
                 return carry, (lp, value, ent)
 
             _, (lp, value, ent) = jax.lax.scan(
-                scan_step, init_carry, (obs_seq, act)
+                scan_step, mb["carry"], (mb["obs"], mb["act"])
             )
-            cfg_eff = cfg._replace(entropy_coef=1.0)  # coef applied manually
-            ratio = jnp.exp(lp - logp_old)
-            a = (adv - adv.mean()) / (adv.std() + 1e-8)
+            ratio = jnp.exp(lp - mb["logp_old"])
+            a = (mb["adv"] - mb["adv"].mean()) / (mb["adv"].std() + 1e-8)
             pl = -jnp.minimum(
                 ratio * a,
                 jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * a,
             ).mean()
-            vl = 0.5 * ((value - ret) ** 2).mean()
+            vl = 0.5 * ((value - mb["ret"]) ** 2).mean()
             e = ent.mean()
             total = pl + cfg.vf_coef * vl - entropy_coef * e
             return total, {"policy_loss": pl, "value_loss": vl, "entropy": e}
 
-        grads, aux = jax.grad(loss_fn, has_aux=True)(params)
-        updates, opt_state = self.tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, aux
+        n_mb = max(1, int(cfg.num_minibatches))
+        batch_size = act.shape[1]
+        n_mb = min(n_mb, batch_size)
+        mb_size = batch_size // n_mb
+        if n_mb > 1:
+            perm = jax.random.permutation(key, batch_size)
+        else:
+            perm = jnp.arange(batch_size)
+
+        aux = None
+        for i in range(n_mb):
+            idx = perm[i * mb_size:(i + 1) * mb_size]
+            mb = {
+                "obs": jax.tree.map(lambda x: x[:, idx], obs_seq),
+                "act": act[:, idx],
+                "logp_old": logp_old[:, idx],
+                "adv": adv[:, idx],
+                "ret": ret[:, idx],
+                "carry": jax.tree.map(lambda c: c[idx], init_carry)
+                if init_carry is not None else None,
+            }
+            grads, aux = jax.grad(loss_fn, has_aux=True)(params, mb)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+        return params, opt_state, aux
 
     # ------------------------------------------------------------------
     @functools.partial(jax.jit, static_argnums=0)
     def train_iteration(self, ts: TrainerState, ent_coef_a, ent_coef_p):
-        key, k_roll = jax.random.split(ts.key)
+        key, k_roll, k_mb = jax.random.split(ts.key, 3)
         init_carry_a, init_carry_p = ts.carry_a, ts.carry_p
         (env_states, obs, carry_a, carry_p), batch = self._rollout(ts, k_roll)
 
@@ -306,15 +325,18 @@ class TwoLevelTrainer:
         params_a, opt_a = ts.params_a, ts.opt_a
         params_p, opt_p = ts.params_p, ts.opt_p
         aux_a = aux_p = None
-        for _ in range(self.cfg.epochs):
+        for e in range(self.cfg.epochs):
+            k_e = jax.random.fold_in(k_mb, e)
             params_a, opt_a, aux_a = self._update_policy(
                 self.model_a, params_a, opt_a, batch["obs_a"], init_carry_a,
                 batch["act_a"], batch["logp_a"], adv_a, ret_a, ent_coef_a,
+                jax.random.fold_in(k_e, 0),
             )
             if self.has_planner_actions and self.train_planner:
                 params_p, opt_p, aux_p = self._update_policy(
                     self.model_p, params_p, opt_p, batch["obs_p"], init_carry_p,
                     batch["act_p"], batch["logp_p"], adv_p, ret_p, ent_coef_p,
+                    jax.random.fold_in(k_e, 1),
                     multi_dims=self.p_layout.action_dims,
                 )
 

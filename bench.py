@@ -2,15 +2,17 @@
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
-Baseline context (BASELINE.md): the reference publishes no numeric tables; its
-only quantitative claim is ">5x faster than CPU on an A100" for the covid env.
-We therefore report absolute env-steps/s/chip and compute vs_baseline against
-a measured single-process CPU-reference-style throughput estimate
-(REF_CPU_STEPS_S below, the reference CPU engine's ~200 env-steps/s ballpark
-for this config on one core — conservative in the reference's favor).
+`vs_baseline` is measured-over-measured: the denominator is the ACTUAL
+reference CPU engine (/root/reference, salesforce/ai-economist v1.7.1) run in
+this same process under the identical env config and the identical
+masked-uniform-random action distribution (its hot loop:
+reference base_env.py:929-1032). The measurement is cached in
+BASELINE_MEASURED.json so repeated bench runs don't re-pay the CPU episode;
+delete that file to force a re-measurement.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -18,6 +20,7 @@ sys.path.insert(0, "/root/repo")
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 import ai_economist_tpu as aet
 from ai_economist_tpu.adapters.batched import BatchedEnv
@@ -26,37 +29,134 @@ NUM_ENVS = 4096
 N_AGENTS = 4
 STEPS = 60
 WARMUP = 5
-# Reference CPU engine throughput for gather-trade-build-ish configs is
-# O(100) env-steps/s/process (per-agent Python loops, dict obs assembly
-# each step; see SURVEY.md §3.3 "Hot spots").
-REF_CPU_STEPS_S = 200.0
+WORLD_SIZE = [25, 25]
+EPISODE_LENGTH = 1000
+REF_STEPS = 300  # reference CPU steps to time (~1-2 s at its ~200 steps/s)
+BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "BASELINE_MEASURED.json")
+
+COMPONENTS = [
+    ("Build", {"skill_dist": "pareto", "payment_max_skill_multiplier": 3}),
+    ("ContinuousDoubleAuction", {"max_num_orders": 5}),
+    ("Gather", {"skill_dist": "pareto"}),
+    ("PeriodicBracketTax", {"period": 100}),
+]
+
+ENV_COMMON = dict(
+    n_agents=N_AGENTS,
+    world_size=WORLD_SIZE,
+    episode_length=EPISODE_LENGTH,
+)
+
+_BASELINE_KEY = (
+    f"gather-trade-build {N_AGENTS}ag {WORLD_SIZE[0]}x{WORLD_SIZE[1]} "
+    f"cda5 tax100 ep{EPISODE_LENGTH}"
+)
 
 
 def build_env():
-    components = [
-        ("Build", {"skill_dist": "pareto", "payment_max_skill_multiplier": 3}),
-        ("Gather", {"skill_dist": "pareto"}),
-    ]
-    if aet.components.has("ContinuousDoubleAuction"):
-        components.insert(1, ("ContinuousDoubleAuction", {"max_num_orders": 5}))
-    if aet.components.has("PeriodicBracketTax"):
-        components.append(("PeriodicBracketTax", {"period": 100}))
+    components = [(n, dict(k)) for n, k in COMPONENTS
+                  if aet.components.has(n)]
     return aet.make_env_instance(
         "uniform/simple_wood_and_stone",
         components=components,
-        n_agents=N_AGENTS,
-        world_size=[25, 25],
-        episode_length=1000,
+        **ENV_COMMON,
     )
 
 
+def measure_reference(steps=REF_STEPS):
+    """Time the real reference CPU engine on the same config + action dist.
+
+    Imports /root/reference with the lz4/Crypto/GPUtil stubs (they only touch
+    log IO / the activation gate / device detection) via the same bridge the
+    parity tests use, then times `steps` calls of BaseEnvironment.step
+    (reference base_env.py:929-1032) under masked uniform-random actions.
+    """
+    from tests.reference_compat import refbridge
+
+    foundation = refbridge.get_foundation()
+    ref_env = foundation.make_env_instance(
+        scenario_name="uniform/simple_wood_and_stone",
+        components=[{n: dict(k)} for n, k in COMPONENTS],
+        multi_action_mode_agents=False,
+        multi_action_mode_planner=True,
+        flatten_observations=True,
+        flatten_masks=True,
+        **ENV_COMMON,
+    )
+    np.random.seed(0)
+    obs = ref_env.reset()
+    rng = np.random.default_rng(1)
+    tpu_env = build_env()  # only for the planner action layout
+
+    # Warm the action-sampling path and the env's first-step caches.
+    for _ in range(3):
+        acts, _ = refbridge.sample_masked_actions(
+            obs, N_AGENTS, rng, tpu_env.planner_action_space)
+        obs, _, _, _ = ref_env.step(acts)
+
+    # Time the step loop with fresh masked sampling each step (so the action
+    # distribution is exactly the one the TPU bench uses), then subtract the
+    # sampling cost re-timed over the recorded observations — only
+    # BaseEnvironment.step should be on the reference's clock, since the TPU
+    # side's sampling is a fused jitted categorical.
+    # Best of 3 repeats — the max is the measurement most favorable to the
+    # reference (shields the ratio from transient load on this box).
+    best = 0.0
+    for _ in range(3):
+        seen_obs = []
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            seen_obs.append(obs)
+            acts, _ = refbridge.sample_masked_actions(
+                obs, N_AGENTS, rng, tpu_env.planner_action_space)
+            obs, _, _, _ = ref_env.step(acts)
+        dt_total = time.perf_counter() - t0
+
+        rng2 = np.random.default_rng(1)
+        t0 = time.perf_counter()
+        for o in seen_obs:
+            refbridge.sample_masked_actions(
+                o, N_AGENTS, rng2, tpu_env.planner_action_space)
+        dt_sampling = time.perf_counter() - t0
+        best = max(best, steps / max(dt_total - dt_sampling, 1e-9))
+    return best
+
+
+def get_baseline():
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            cached = json.load(f)
+        if cached.get("config") == _BASELINE_KEY:
+            return cached["ref_env_steps_per_s"]
+    try:
+        # The reference prints device-detection chatter at import; keep
+        # stdout clean for the single JSON result line.
+        import contextlib
+        with contextlib.redirect_stdout(sys.stderr):
+            ref_sps = measure_reference()
+    except Exception as e:  # reference tree unavailable (e.g. deployment box)
+        sys.stderr.write(f"bench: reference measurement failed ({e!r}); "
+                         f"falling back to conservative 200 steps/s\n")
+        return 200.0
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump({"config": _BASELINE_KEY,
+                   "ref_env_steps_per_s": round(ref_sps, 2),
+                   "ref_steps_timed": REF_STEPS,
+                   "measured_on": "single-process CPU, this machine"}, f,
+                  indent=1)
+        f.write("\n")
+    return ref_sps
+
+
 def main():
+    ref_sps = get_baseline()
+
     env = build_env()
     batch = BatchedEnv(env, NUM_ENVS, auto_reset=True)
     key = jax.random.PRNGKey(0)
     states, obs = batch.reset(key)
 
-    n_a = env.agent_action_space.total_actions
     p_layout = env.planner_action_space
 
     def random_actions(key, obs):
@@ -98,7 +198,7 @@ def main():
                 "metric": f"env-steps/s/chip gather-trade-build {N_AGENTS}ag x {NUM_ENVS}env",
                 "value": round(steps_per_s, 1),
                 "unit": "env-steps/s/chip",
-                "vs_baseline": round(steps_per_s / REF_CPU_STEPS_S, 2),
+                "vs_baseline": round(steps_per_s / ref_sps, 2),
             }
         )
     )

@@ -61,7 +61,7 @@ def test_train_iteration_runs():
     env = small_env()
     trainer = TwoLevelTrainer(
         env, num_envs=4,
-        cfg=PPOConfig(rollout_len=4, epochs=1),
+        cfg=PPOConfig(rollout_len=4, epochs=1, num_minibatches=2),
         model_kwargs=dict(fc_dim=16, cell_size=16, emb_dim=2),
     )
     ts = trainer.init(jax.random.PRNGKey(0))
@@ -75,6 +75,43 @@ def test_train_iteration_runs():
     # Second iteration reuses the compiled function
     ts, metrics = trainer.train_iteration(ts, 0.025, 0.1)
     assert int(ts.iteration) == 2
+
+
+@pytest.mark.slow
+def test_fresh_auto_reset_rerandomizes_layouts():
+    """Consecutive episodes of one replica must get different layouts under
+    the trainer's default reset_mode="fresh" (reference RLlib-path behavior,
+    tutorials/rllib/env_wrapper.py:207-211), unlike the WarpDrive rewind."""
+    from ai_economist_tpu.adapters.batched import auto_reset_step
+
+    env = small_env()
+    n_mobile_actions = env.agent_action_space.total_actions
+
+    def run_episodes(reset_mode):
+        key = jax.random.PRNGKey(7)
+        reset_b = jax.jit(jax.vmap(env.reset_fresh))
+        states, obs = reset_b(jax.random.split(key, 2))
+        initial = states
+        layouts = [np.asarray(states.maps["WoodSourceBlock"][0])]
+        step = jax.jit(lambda s, a: auto_reset_step(env, s, a, initial,
+                                                    reset_mode))
+        for t in range(env.episode_length + 1):
+            acts = {"a": jnp.zeros((2, env.n_agents), jnp.int32),
+                    "p": jnp.zeros((2, env.planner_action_space.n_subspaces),
+                                   jnp.int32)}
+            states, obs, rew, done, _ = step(states, acts)
+            if bool(np.asarray(done).any()):
+                layouts.append(np.asarray(states.maps["WoodSourceBlock"][0]))
+        return layouts
+
+    fresh = run_episodes("fresh")
+    assert len(fresh) >= 2
+    assert not np.array_equal(fresh[0], fresh[1]), \
+        "fresh reset produced an identical layout"
+
+    rewind = run_episodes("rewind")
+    assert np.array_equal(rewind[0], rewind[1]), \
+        "rewind reset should replay the saved layout"
 
 
 @pytest.mark.slow
