@@ -191,11 +191,13 @@ class FederalGovernmentSubsidy(Component):
             subsidy_level = arr[t - 1]
         else:
             on_interval = (t - 1) % self.subsidy_interval == 0
-            act = p_actions[self.name].astype(jnp.float32)
+            # The planner action may arrive as a length-1 subspace array;
+            # keep the component state scalar (matches init_state).
+            act = jnp.asarray(p_actions[self.name]).reshape(()).astype(jnp.float32)
             subsidy_level = jnp.where(
                 on_interval, act, cs["current_subsidy_level"]
             )
-        cs["current_subsidy_level"] = subsidy_level
+        cs["current_subsidy_level"] = jnp.asarray(subsidy_level).reshape(())
 
         frac = subsidy_level / self.num_subsidy_levels
         daily = frac * self.max_daily_subsidy_per_state

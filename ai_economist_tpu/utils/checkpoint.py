@@ -49,7 +49,8 @@ def save_params(path: str, params: Any) -> None:
     """One-shot parameter save (phase-2 warm-start analog,
     training_script.py:174-191)."""
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(os.path.abspath(path), params)
+    # force: a resumed run legitimately re-saves the iteration it restored at.
+    ckptr.save(os.path.abspath(path), params, force=True)
     ckptr.wait_until_finished()
 
 

@@ -1,0 +1,235 @@
+"""Trajectory parity vs the real reference engine: COVID-19 & economy.
+
+The reference's CPU covid path is fully deterministic (no np.random anywhere
+in covid19_env.py / covid19_components.py), so parity needs no RNG
+injection: same actions => same trajectory. This is the analog of the
+reference's own CPU<->GPU consistency oracle
+(tests/run_covid19_cpu_gpu_consistency_checks.py:37-101), with the reference
+CPU engine on one side and the TPU engine on the other, on the REAL shipped
+fitted artifacts
+(ai_economist/datasets/covid19_datasets/data_and_fitted_params/).
+
+Covers: fitted-model stepping (SIR/unemployment/economy/rewards), stringency
+cooldown masks, subsidy intervals, vaccination delivery, and both real-world
+replay modes (use_real_world_policies / use_real_world_data).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import ai_economist_tpu as aet
+from tests.reference_compat import refbridge
+
+DATA_DIR = (
+    "/root/reference/ai_economist/datasets/covid19_datasets/"
+    "data_and_fitted_params"
+)
+
+N_STATES = 51
+
+
+def get_covid_foundation():
+    """Reference foundation with the covid RSA activation gate disabled.
+
+    The gate (reference foundation/utils.py:46-123, called at
+    covid19_env.py:114) is a distribution control, not simulation behavior
+    (SURVEY.md 7.4); it would block on stdin here.
+    """
+    foundation = refbridge.get_foundation()
+    import sys
+
+    ref_cov = sys.modules["ai_economist.foundation.scenarios.covid19.covid19_env"]
+    ref_cov.verify_activation_code = lambda: None
+    return foundation
+
+
+def _make_pair(episode_length=60, components_kwargs=None, **scen_kwargs):
+    foundation = get_covid_foundation()
+    ck = components_kwargs or {}
+    comps = [
+        ("ControlUSStateOpenCloseStatus",
+         {"action_cooldown_period": 28,
+          **ck.get("ControlUSStateOpenCloseStatus", {})}),
+        ("FederalGovernmentSubsidy",
+         {"num_subsidy_levels": 20, "subsidy_interval": 90,
+          "max_annual_subsidy_per_person": 20000,
+          **ck.get("FederalGovernmentSubsidy", {})}),
+        ("VaccinationCampaign",
+         {"daily_vaccines_per_million_people": 3000, "delivery_interval": 1,
+          "vaccine_delivery_start_date": "2021-01-12",
+          **ck.get("VaccinationCampaign", {})}),
+    ]
+    common = dict(
+        n_agents=N_STATES,
+        world_size=[1, 1],
+        episode_length=episode_length,
+        multi_action_mode_agents=False,
+        multi_action_mode_planner=False,
+        flatten_observations=True,
+        flatten_masks=True,
+        collate_agent_step_and_reset_data=True,  # required by the ref covid env
+    )
+    ref_env = foundation.make_env_instance(
+        scenario_name="CovidAndEconomySimulation",
+        components=[{n: dict(k)} for n, k in comps],
+        path_to_data_and_fitted_params=DATA_DIR,
+        **common,
+        **scen_kwargs,
+    )
+    tpu_env = aet.make_env_instance(
+        "CovidAndEconomySimulation",
+        components=comps,
+        path_to_data_and_fitted_params=DATA_DIR,
+        n_agents=N_STATES,
+        world_size=[1, 1],
+        episode_length=episode_length,
+        multi_action_mode_planner=False,
+        **scen_kwargs,
+    )
+    return ref_env, tpu_env
+
+
+def _ref_series(ref_env, key, t):
+    return np.asarray(ref_env.world.global_state[key][t], np.float64)
+
+
+def _assert_step_matches(ref_env, tpu_state, t, rtol=2e-4):
+    scen = tpu_state.scen
+    pairs = [
+        ("Susceptible", scen["S"]),
+        ("Infected", scen["I"]),
+        ("Recovered", scen["R"]),
+        ("Deaths", scen["D"]),
+        ("Vaccinated", scen["V"]),
+        ("Unemployed", scen["U"]),
+        ("Postsubsidy Productivity", scen["postsubsidy_productivity"]),
+        ("Subsidy", scen["subsidy"]),
+    ]
+    for key, ours in pairs:
+        ref = _ref_series(ref_env, key, t)
+        got = np.asarray(ours, np.float64)
+        # atol=5.0 (people / dollars): float32 rounding accumulates to a
+        # few units on populations of millions; relative error only blows up
+        # when the series itself approaches zero.
+        np.testing.assert_allclose(
+            got, ref, rtol=rtol, atol=5.0,
+            err_msg=f"{key} diverged at t={t}",
+        )
+    ref_str = _ref_series(ref_env, "Stringency Level", t)
+    np.testing.assert_allclose(
+        np.asarray(scen["hist"][-1], np.float64), ref_str,
+        err_msg=f"Stringency diverged at t={t}",
+    )
+
+
+def _run_parity(episode_length, steps, scen_kwargs=None, seed=0,
+                components_kwargs=None, check_masks=True, rtol=2e-4):
+    ref_env, tpu_env = _make_pair(
+        episode_length=episode_length,
+        components_kwargs=components_kwargs,
+        **(scen_kwargs or {}),
+    )
+    ref_obs = ref_env.reset()
+    state, obs = jax.jit(tpu_env.reset_fresh)(jax.random.PRNGKey(seed))
+    _assert_step_matches(ref_env, state, 0, rtol=rtol)
+
+    step = jax.jit(tpu_env.step)
+    rng = np.random.default_rng(seed + 1)
+    rew_ref_sum = np.zeros(N_STATES)
+    rew_tpu_sum = np.zeros(N_STATES)
+    rew_p_ref = rew_p_tpu = 0.0
+
+    for t in range(1, steps + 1):
+        # Collated reference masks are [1 + n_actions, n_agents].
+        ref_a_masks = np.asarray(ref_obs["a"]["action_mask"])
+        if check_masks:
+            np.testing.assert_array_equal(
+                np.asarray(obs["a"]["action_mask"]),
+                ref_a_masks.T,
+                err_msg=f"agent masks diverged at t={t}",
+            )
+            np.testing.assert_array_equal(
+                np.asarray(obs["p"]["action_mask"]),
+                np.asarray(ref_obs["p"]["action_mask"]).ravel(),
+                err_msg=f"planner mask diverged at t={t}",
+            )
+
+        # Masked uniform-random actions, identical for both engines.
+        ref_actions = {}
+        a_flat = np.zeros((N_STATES,), np.int32)
+        for i in range(N_STATES):
+            mask = ref_a_masks[:, i]
+            a = int(rng.choice(np.flatnonzero(mask > 0)))
+            ref_actions[str(i)] = a
+            a_flat[i] = a
+        pmask = np.asarray(ref_obs["p"]["action_mask"]).ravel()
+        p_act = int(rng.choice(np.flatnonzero(pmask > 0)))
+        ref_actions["p"] = p_act
+
+        ref_obs, ref_rew, _, _ = ref_env.step(ref_actions)
+        state, obs, rew, done, _ = step(
+            state,
+            {"a": jnp.asarray(a_flat), "p": jnp.asarray(p_act, jnp.int32)},
+        )
+        _assert_step_matches(ref_env, state, t, rtol=rtol)
+
+        rew_ref_sum += np.asarray(ref_rew["a"], np.float64)
+        rew_tpu_sum += np.asarray(rew["a"], np.float64)
+        rew_p_ref += float(ref_rew["p"])
+        rew_p_tpu += float(rew["p"])
+
+    np.testing.assert_allclose(rew_tpu_sum, rew_ref_sum, rtol=5e-3, atol=5e-4)
+    np.testing.assert_allclose(rew_p_tpu, rew_p_ref, rtol=5e-3, atol=5e-4)
+
+
+def test_covid_parity_fitted_model():
+    """51 real states, fitted SIR/unemployment/economy, random masked
+    actions, 40 steps: full state-trajectory + mask + reward parity."""
+    _run_parity(episode_length=60, steps=40)
+
+
+def test_covid_parity_subsidy_and_vaccines():
+    """Short subsidy interval + immediate vaccination exercise the planner
+    decision points and the vaccine delivery path within a short episode."""
+    _run_parity(
+        episode_length=50, steps=35, seed=3,
+        components_kwargs={
+            "FederalGovernmentSubsidy": {"subsidy_interval": 10},
+            "VaccinationCampaign":
+                {"vaccine_delivery_start_date": "2020-04-01"},
+        },
+    )
+
+
+def test_covid_parity_real_world_policies():
+    """Replay mode: actions come from the recorded real-world policy /
+    subsidy series (reference covid19_components.py:181-186, 396-420)."""
+    _run_parity(
+        episode_length=60, steps=40, seed=5,
+        scen_kwargs={"use_real_world_policies": True},
+        check_masks=False,  # replay mode unmasks everything in both engines
+    )
+
+
+@pytest.mark.slow
+def test_covid_parity_real_world_data():
+    """Full replay: both SIR states and policies come from the recorded
+    real-world series (covid19_env.py:726-760)."""
+    _run_parity(
+        episode_length=60, steps=40, seed=7,
+        scen_kwargs={"use_real_world_data": True,
+                     "use_real_world_policies": True},
+        check_masks=False,
+    )
+
+
+@pytest.mark.slow
+def test_covid_parity_full_episode_540():
+    """The reference's flagship GPU benchmark config: 51 states + planner,
+    episode length 540 (run_configs/covid_and_economy_environment.yaml:41-44).
+    Parity over the full horizon, including the real vaccination start date
+    (2021-01-12, day 296)."""
+    _run_parity(episode_length=540, steps=540, seed=11, check_masks=False)

@@ -171,3 +171,34 @@ def test_step_timer_and_trace(tmp_path):
     with trace(str(tmp_path / "trace")):
         jnp.ones((4,)).sum().block_until_ready()
     assert os.path.isdir(tmp_path / "trace")
+
+
+@pytest.mark.slow
+def test_covid_training_config_end_to_end(tmp_path):
+    """The shipped covid training config (training/configs/covid.yaml, the
+    reference run_configs/covid_and_economy_environment.yaml analog) builds
+    and trains on the REAL fitted artifacts — shrunk to 2 replicas x 2
+    iterations for CI."""
+    import yaml
+
+    from ai_economist_tpu.training import run as runner
+
+    src = os.path.join(
+        os.path.dirname(runner.__file__), "configs", "covid.yaml"
+    )
+    with open(src) as f:
+        cfg = yaml.safe_load(f)
+    cfg["env"]["episode_length"] = 60
+    cfg["trainer"].update(num_envs=2, rollout_len=5)
+    cfg["models"]["agents_kwargs"] = {"hidden": 32}
+    cfg["models"]["planner_kwargs"] = {"hidden": 32}
+    cfg["general"].update(num_iterations=2, save_every=1, dense_log_every=10,
+                          log_every=1)
+    run_dir = tmp_path / "covid_run"
+    run_dir.mkdir()
+    with open(run_dir / "config.yaml", "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    ts = runner.main(str(run_dir))
+    assert int(ts.iteration) == 2
+    assert os.path.isdir(run_dir / "ckpts")
