@@ -28,6 +28,46 @@ class GymStyleEnv:
         self._reset_fn = jax.jit(env.reset)
         self._init_fn = jax.jit(env.init_state)
         self._step_fn = jax.jit(env.step)
+        self._spaces = None
+
+    # ------------------------------------------------------------------
+    # gym space synthesis (reference env_wrapper.py:139-171,
+    # tutorials/rllib/env_wrapper.py:74-101): spaces are derived from a probe
+    # reset the first time any space property is read, so external RL
+    # libraries (RLlib-style) can introspect obs/action shapes.
+    # ------------------------------------------------------------------
+    def _ensure_spaces(self):
+        if self._spaces is not None:
+            return
+        from ai_economist_tpu.adapters import spaces as sp
+
+        obs = self.reset()
+        self._spaces = {
+            "obs_a": sp.obs_dict_to_spaces(obs["0"]),
+            "obs_p": sp.obs_dict_to_spaces(obs["p"]),
+            "act_a": sp.action_space_from_layout(self.env.agent_action_space),
+            "act_p": sp.action_space_from_layout(self.env.planner_action_space),
+        }
+
+    @property
+    def observation_space(self):
+        self._ensure_spaces()
+        return self._spaces["obs_a"]
+
+    @property
+    def observation_space_pl(self):
+        self._ensure_spaces()
+        return self._spaces["obs_p"]
+
+    @property
+    def action_space(self):
+        self._ensure_spaces()
+        return self._spaces["act_a"]
+
+    @property
+    def action_space_pl(self):
+        self._ensure_spaces()
+        return self._spaces["act_p"]
 
     # ------------------------------------------------------------------
     def seed(self, seed: int):

@@ -52,7 +52,14 @@ class Build(Component):
         return {}
 
     def init_state(self):
-        return {"n_builds": jnp.zeros((self.n_agents,), jnp.int32)}
+        n = self.n_agents
+        return {
+            "n_builds": jnp.zeros((n,), jnp.int32),
+            # current-step build events (dense log, build.py:148-161)
+            "ev_built": jnp.zeros((n,), jnp.bool_),
+            "ev_loc": jnp.zeros((n, 2), jnp.int32),
+            "ev_income": jnp.zeros((n,), jnp.float32),
+        }
 
     # ------------------------------------------------------------------
     def reset(self, state: EnvState, key) -> EnvState:
@@ -120,7 +127,10 @@ class Build(Component):
             **state.comp,
             self.name: {
                 "n_builds": state.comp[self.name]["n_builds"]
-                + do_build.astype(jnp.int32)
+                + do_build.astype(jnp.int32),
+                "ev_built": do_build,
+                "ev_loc": state.loc,
+                "ev_income": b * state.agent_fields["build_payment"],
             },
         }
         return state.replace(inventory=inv, endogenous=endo, maps=maps, comp=comp)
@@ -136,6 +146,27 @@ class Build(Component):
 
     def masks(self, state: EnvState):
         return {"a": {self.name: self._can_build(state)[:, None].astype(jnp.float32)}}
+
+    def dense_log_record(self, state: EnvState):
+        cs = state.comp[self.name]
+        return {"built": cs["ev_built"], "loc": cs["ev_loc"],
+                "income": cs["ev_income"]}
+
+    def decode_dense_log(self, stacked):
+        """[T] list of build-event lists (reference build.py:148-161)."""
+        import numpy as np
+
+        built = np.asarray(stacked["built"])
+        loc = np.asarray(stacked["loc"])
+        income = np.asarray(stacked["income"])
+        out = []
+        for t in range(built.shape[0]):
+            out.append([
+                {"builder": int(i), "loc": loc[t, i].tolist(),
+                 "income": float(income[t, i])}
+                for i in np.nonzero(built[t])[0]
+            ])
+        return out
 
     def metrics(self, state: EnvState):
         out = {}

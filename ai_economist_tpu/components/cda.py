@@ -99,6 +99,15 @@ class ContinuousDoubleAuction(Component):
             "buy_n": jnp.zeros((C, N), jnp.int32),
             "buy_price_sum": jnp.zeros((C, N), jnp.float32),
             "n_trades": jnp.zeros((), jnp.int32),
+            # current-step trade events (dense log, cda.py:293-323)
+            "ev_buyer": jnp.zeros((C, self.K), jnp.int32),
+            "ev_seller": jnp.zeros((C, self.K), jnp.int32),
+            "ev_price": jnp.zeros((C, self.K), jnp.int32),
+            "ev_bid": jnp.zeros((C, self.K), jnp.int32),
+            "ev_ask": jnp.zeros((C, self.K), jnp.int32),
+            "ev_bid_life": jnp.zeros((C, self.K), jnp.int32),
+            "ev_ask_life": jnp.zeros((C, self.K), jnp.int32),
+            "ev_count": jnp.zeros((C,), jnp.int32),
         }
 
     # ------------------------------------------------------------------
@@ -194,38 +203,76 @@ class ContinuousDoubleAuction(Component):
             t_price,
             t_bidp,
             t_askp,
+            t_bidl,
+            t_askl,
             t_count,
         ) = jax.vmap(self._match)(b_price, b_life, b_act, a_price, a_life, a_act)
 
-        for ci, c in enumerate(self.commodities):
-            c_res = spec.res_idx(c)
-            valid = (jnp.arange(K) < t_count[ci])
-            vf = valid.astype(jnp.float32)
-            tb = jnp.where(valid, t_buyer[ci], 0)
-            ts = jnp.where(valid, t_seller[ci], 0)
-            tp = jnp.where(valid, t_price[ci], 0)
-            tpb = jnp.where(valid, t_bidp[ci], 0)
-            tpa = jnp.where(valid, t_askp[ci], 0)
-            tpf = tp.astype(jnp.float32)
+        # Settlement + bookkeeping for all commodities in a handful of fused
+        # scatters over flattened targets (TPU scatters are per-op expensive;
+        # 2 scatters beat 2C small ones). Semantics identical to the
+        # reference's per-trade mutations (cda.py:313-343): scatter-add is
+        # order-independent and each (commodity, slot) pair is distinct.
+        C = len(self.commodities)
+        R = spec.n_resources
+        Pn = self.n_prices
+        valid = jnp.arange(K)[None, :] < t_count[:, None]  # [C, K]
+        vf = valid.astype(jnp.float32)
+        vi = valid.astype(jnp.int32)
+        tb = jnp.where(valid, t_buyer, 0)
+        ts = jnp.where(valid, t_seller, 0)
+        tp = jnp.where(valid, t_price, 0)
+        tpb = jnp.where(valid, t_bidp, 0)
+        tpa = jnp.where(valid, t_askp, 0)
+        tpf = tp.astype(jnp.float32)
+        res_c = res_cols[:, None]  # [C, 1] resource column per commodity
+        ci_idx = jnp.arange(C, dtype=jnp.int32)[:, None]
 
-            # Settlement (cda.py:327-343)
-            esc = esc.at[ts, c_res].add(-vf)
-            inv = inv.at[tb, c_res].add(vf)
-            esc = esc.at[tb, coin_i].add(-vf * tpb)
-            inv = inv.at[ts, coin_i].add(vf * tpf)
-            inv = inv.at[tb, coin_i].add(vf * (tpb - tpf))
-            # Bookkeeping (cda.py:313-325)
-            bid_hist = bid_hist.at[ci, tb, tpb].add(-vf)
-            ask_hist = ask_hist.at[ci, ts, tpa].add(-vf)
-            n_orders = n_orders.at[ci, ts].add(-valid.astype(jnp.int32))
-            n_orders = n_orders.at[ci, tb].add(-valid.astype(jnp.int32))
-            price_history = price_history.at[ci, ts, tp].add(vf)
-            # Metrics
-            sell_n = sell_n.at[ci, ts].add(valid.astype(jnp.int32))
-            sell_ps = sell_ps.at[ci, ts].add(vf * tpf)
-            buy_n = buy_n.at[ci, tb].add(valid.astype(jnp.int32))
-            buy_ps = buy_ps.at[ci, tb].add(vf * tpf)
-            n_trades = n_trades + t_count[ci]
+        # Inventory (cda.py:330-343): buyer +1 unit, seller +price coin,
+        # buyer +excess (bid - price) coin.
+        inv_idx = jnp.concatenate([
+            (tb * R + res_c).ravel(),
+            (ts * R + coin_i).ravel(),
+            (tb * R + coin_i).ravel(),
+        ])
+        inv_val = jnp.concatenate([
+            vf.ravel(), (vf * tpf).ravel(), (vf * (tpb - tpf)).ravel(),
+        ])
+        inv = inv.reshape(-1).at[inv_idx].add(inv_val).reshape(
+            self.n_agents, R
+        )
+        # Escrow: seller -1 unit, buyer -bid coin (the full pre-payment).
+        esc_idx = jnp.concatenate([
+            (ts * R + res_c).ravel(), (tb * R + coin_i).ravel(),
+        ])
+        esc_val = jnp.concatenate([(-vf).ravel(), (-vf * tpb).ravel()])
+        esc = esc.reshape(-1).at[esc_idx].add(esc_val).reshape(
+            self.n_agents, R
+        )
+        # Histograms + price history (cda.py:313-325)
+        bid_hist = bid_hist.reshape(-1).at[
+            (ci_idx * N * Pn + tb * Pn + tpb).ravel()
+        ].add((-vf).ravel()).reshape(C, N, Pn)
+        ask_hist = ask_hist.reshape(-1).at[
+            (ci_idx * N * Pn + ts * Pn + tpa).ravel()
+        ].add((-vf).ravel()).reshape(C, N, Pn)
+        price_history = price_history.reshape(-1).at[
+            (ci_idx * N * Pn + ts * Pn + tp).ravel()
+        ].add(vf.ravel()).reshape(C, N, Pn)
+        n_orders = n_orders.reshape(-1).at[
+            jnp.concatenate([(ci_idx * N + ts).ravel(),
+                             (ci_idx * N + tb).ravel()])
+        ].add(jnp.concatenate([(-vi).ravel(), (-vi).ravel()])).reshape(C, N)
+        # Metrics
+        sell_n = sell_n.reshape(-1).at[(ci_idx * N + ts).ravel()].add(
+            vi.ravel()).reshape(C, N)
+        sell_ps = sell_ps.reshape(-1).at[(ci_idx * N + ts).ravel()].add(
+            (vf * tpf).ravel()).reshape(C, N)
+        buy_n = buy_n.reshape(-1).at[(ci_idx * N + tb).ravel()].add(
+            vi.ravel()).reshape(C, N)
+        buy_ps = buy_ps.reshape(-1).at[(ci_idx * N + tb).ravel()].add(
+            (vf * tpf).ravel()).reshape(C, N)
+        n_trades = n_trades + t_count.sum()
 
         # ----- expire, all commodities at once (cda.py:352-406) -----
         b_life = b_life + b_act.astype(jnp.int32)
@@ -267,6 +314,14 @@ class ContinuousDoubleAuction(Component):
                 "buy_n": buy_n,
                 "buy_price_sum": buy_ps,
                 "n_trades": n_trades,
+                "ev_buyer": t_buyer,
+                "ev_seller": t_seller,
+                "ev_price": t_price,
+                "ev_bid": t_bidp,
+                "ev_ask": t_askp,
+                "ev_bid_life": t_bidl,
+                "ev_ask_life": t_askl,
+                "ev_count": t_count,
             },
         }
         return state.replace(inventory=inv, escrow=esc, endogenous=endo, comp=comp)
@@ -301,6 +356,7 @@ class ContinuousDoubleAuction(Component):
             a_active=saa,
             t_count=jnp.zeros((), jnp.int32),
             t_buyer=Z, t_seller=Z, t_price=Z, t_bidp=Z, t_askp=Z,
+            t_bidl=Z, t_askl=Z,
         )
 
         iota_k = jnp.arange(K, dtype=jnp.int32)
@@ -319,10 +375,16 @@ class ContinuousDoubleAuction(Component):
         # are price-ascending, so if that first eligible ask doesn't cross,
         # none will: the buyer is killed — otherwise they trade. Each round
         # therefore performs exactly one trade (≤ K) or one kill (≤ N), and
-        # a round with no eligible bid is a no-op, so a fixed-trip fori_loop
-        # of K+N fully-vectorized rounds reproduces the sequential machine.
+        # a round with no eligible bid is a no-op, so K+N fully-vectorized
+        # rounds reproduce the sequential machine. We run them as a
+        # while_loop with an any-eligible-bid termination test: in the
+        # steady state the books left by the previous step's match cannot
+        # cross each other (at match end every surviving top bid was below
+        # the then-minimum non-self ask, and consuming asks only raises that
+        # minimum), so real rounds are bounded by new orders + kills ≈ 3N,
+        # not K+N — a large win over a fixed-trip loop at 4096-env batch.
 
-        def body(_, s):
+        def round_fn(s):
             bid_elig = s["b_active"] & (bid_owner_oh & s["possible"]).any(-1)
             has_bid = bid_elig.any()
             b_first = jnp.argmax(bid_elig)  # first True (priority order)
@@ -359,10 +421,22 @@ class ContinuousDoubleAuction(Component):
                 "t_price": put(s["t_price"], price),
                 "t_bidp": put(s["t_bidp"], sbp_i),
                 "t_askp": put(s["t_askp"], sap_i),
+                "t_bidl": put(s["t_bidl"], sbl_i),
+                "t_askl": put(s["t_askl"], sal_i),
                 "t_count": tc + is_trade,
+                "rounds": s["rounds"] + 1,
             }
 
-        out = jax.lax.fori_loop(0, K + N, body, init, unroll=2)
+        init["rounds"] = jnp.zeros((), jnp.int32)
+
+        def cond_fn(s):
+            elig = s["b_active"] & (bid_owner_oh & s["possible"]).any(-1)
+            # K+N is the worst-case round bound (one trade or one kill per
+            # round); the any-eligible-bid test exits far earlier in steady
+            # state.
+            return elig.any() & (s["rounds"] < K + N)
+
+        out = jax.lax.while_loop(cond_fn, round_fn, init)
 
         # Scatter surviving-order flags back to [N, M] slot layout.
         b_act_new = jnp.zeros((K,), jnp.bool_).at[b_ord].set(out["b_active"])
@@ -375,6 +449,8 @@ class ContinuousDoubleAuction(Component):
             out["t_price"],
             out["t_bidp"],
             out["t_askp"],
+            out["t_bidl"],
+            out["t_askl"],
             out["t_count"],
         )
 
@@ -420,6 +496,39 @@ class ContinuousDoubleAuction(Component):
             ).astype(jnp.float32)
             out[f"{self.name}.Buy_{c}"] = under_limit[:, None] * can_pay
         return {"a": out}
+
+    def dense_log_record(self, state: EnvState):
+        cs = state.comp[self.name]
+        return {k: cs[k] for k in (
+            "ev_buyer", "ev_seller", "ev_price", "ev_bid", "ev_ask",
+            "ev_bid_life", "ev_ask_life", "ev_count")}
+
+    def decode_dense_log(self, stacked):
+        """[T] list of trade-dict lists in the reference's executed_trades
+        layout (cda.py:293-323: commodity/buyer/bid/bid_lifetime/seller/ask/
+        ask_lifetime/price/cost/income)."""
+        import numpy as np
+
+        s = {k: np.asarray(v) for k, v in stacked.items()}
+        T = s["ev_count"].shape[0]
+        out = []
+        for t in range(T):
+            evs = []
+            for ci, c in enumerate(self.commodities):
+                for j in range(int(s["ev_count"][t, ci])):
+                    price = int(s["ev_price"][t, ci, j])
+                    evs.append({
+                        "commodity": c,
+                        "buyer": int(s["ev_buyer"][t, ci, j]),
+                        "bid": int(s["ev_bid"][t, ci, j]),
+                        "bid_lifetime": int(s["ev_bid_life"][t, ci, j]),
+                        "seller": int(s["ev_seller"][t, ci, j]),
+                        "ask": int(s["ev_ask"][t, ci, j]),
+                        "ask_lifetime": int(s["ev_ask_life"][t, ci, j]),
+                        "price": price, "cost": price, "income": price,
+                    })
+            out.append(evs)
+        return out
 
     def metrics(self, state: EnvState):
         cs = state.comp[self.name]

@@ -51,6 +51,12 @@ class Gather(Component):
     def n_actions(self, agent_cls_name):
         return 4 if agent_cls_name == "BasicMobileAgent" else None
 
+    def init_state(self):
+        # Current-step gather events (dense log, move.py:136-153):
+        # units gathered per (agent, collectible) at the agent's final tile.
+        C = len(self.spec.collectibles)
+        return {"ev_gathered": jnp.zeros((self.n_agents, C), jnp.float32)}
+
     def agent_fields(self, agent_cls_name):
         if agent_cls_name == "BasicMobileAgent":
             return {"bonus_gather_prob": 0.0}
@@ -108,7 +114,7 @@ class Gather(Component):
         dcoff = jnp.array([0, -1, 1, 0, 0], jnp.int32)
 
         def body(carry, i):
-            loc, res, occ, inv, endo = carry
+            loc, res, occ, inv, endo, gn = carry
             a = acts[i]
             r, c = loc[i, 0], loc[i, 1]
             nr, nc = r + droff[a], c + dcoff[a]
@@ -136,17 +142,44 @@ class Gather(Component):
             inv = inv.at[i, res_cols].add(n_gathered)
             res = res.at[:, fr, fc].add(-collect.astype(jnp.float32))
             endo = endo.at[i, lab_i].add(self.collect_labor * collect.sum())
-            return (loc, res, occ, inv, endo), None
+            gn = gn.at[i].set(n_gathered)
+            return (loc, res, occ, inv, endo, gn), None
 
-        carry = (state.loc, res_stack, occ, state.inventory, state.endogenous)
-        (loc, res, _occ, inv, endo), _ = jax.lax.scan(body, carry, order)
+        gn0 = jnp.zeros((n, len(colls)), jnp.float32)
+        carry = (state.loc, res_stack, occ, state.inventory, state.endogenous, gn0)
+        (loc, res, _occ, inv, endo, gn), _ = jax.lax.scan(body, carry, order)
 
         maps = dict(state.maps)
         for j, rname in enumerate(colls):
             maps[rname] = res[j]
-        return state.replace(loc=loc, maps=maps, inventory=inv, endogenous=endo)
+        comp = {**state.comp, self.name: {"ev_gathered": gn}}
+        return state.replace(
+            loc=loc, maps=maps, inventory=inv, endogenous=endo, comp=comp
+        )
 
     # ------------------------------------------------------------------
+    def dense_log_record(self, state: EnvState):
+        cs = state.comp[self.name]
+        return {"gathered": cs["ev_gathered"], "loc": state.loc}
+
+    def decode_dense_log(self, stacked):
+        """[T] list of gather-event lists (reference move.py:136-153)."""
+        import numpy as np
+
+        gn = np.asarray(stacked["gathered"])  # [T, N, C]
+        loc = np.asarray(stacked["loc"])  # [T, N, 2]
+        colls = self.spec.collectibles
+        out = []
+        for t in range(gn.shape[0]):
+            evs = []
+            for i, ci in zip(*np.nonzero(gn[t])):
+                evs.append({
+                    "agent": int(i), "resource": colls[ci],
+                    "n": int(gn[t, i, ci]), "loc": loc[t, i].tolist(),
+                })
+            out.append(evs)
+        return out
+
     def obs(self, state: EnvState):
         return {"a": {"bonus_gather_prob": state.agent_fields["bonus_gather_prob"]}}
 

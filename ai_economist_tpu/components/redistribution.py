@@ -192,6 +192,11 @@ class PeriodicBracketTax(Component):
             "last_income": jnp.zeros((N,), jnp.float32),
             "last_marginal_rate": jnp.zeros((N,), jnp.float32),
             "last_effective_tax_rate": jnp.zeros((N,), jnp.float32),
+            # current-step tax event (dense log, redistribution.py:853-915)
+            "ev_enacted": jnp.zeros((), jnp.bool_),
+            "ev_tax_paid": jnp.zeros((N,), jnp.float32),
+            "ev_lump_sum": jnp.zeros(()),
+            "ev_schedule": jnp.zeros((B,), jnp.float32),
             "elas_t": jnp.asarray(0.5),
             "elas_tm1": jnp.asarray(0.5),
             "log_z0_t": jnp.asarray(0.0),
@@ -512,6 +517,10 @@ class PeriodicBracketTax(Component):
         new_endow = inv[:, coin_i] + state.escrow[:, coin_i]
 
         w = is_tax_day
+        cs["ev_enacted"] = w
+        cs["ev_tax_paid"] = pay
+        cs["ev_lump_sum"] = receive
+        cs["ev_schedule"] = rates
         cs["last_income"] = jnp.where(w, income, cs["last_income"])
         cs["last_marginal_rate"] = jnp.where(w, marginal, cs["last_marginal_rate"])
         cs["last_effective_tax_rate"] = jnp.where(w, etr, cs["last_effective_tax_rate"])
@@ -608,6 +617,47 @@ class PeriodicBracketTax(Component):
                 for r in self._np_cutoffs
             }
         }
+
+    def dense_log_record(self, state: EnvState):
+        cs = state.comp[self.name]
+        return {
+            "enacted": cs["ev_enacted"],
+            "schedule": cs["ev_schedule"],
+            "income": cs["last_income"],
+            "tax_paid": cs["ev_tax_paid"],
+            "marginal_rate": cs["last_marginal_rate"],
+            "effective_rate": cs["last_effective_tax_rate"],
+            "lump_sum": cs["ev_lump_sum"],
+        }
+
+    def decode_dense_log(self, stacked):
+        """[T] tax-event list: empty except on period-end steps, which carry
+        the schedule + per-agent income/tax/lump-sum dicts
+        (reference redistribution.py:853-915, 1188-1202). None when taxes
+        are disabled, matching the reference's get_dense_log."""
+        import numpy as np
+
+        if self.disable_taxes:
+            return None
+        s = {k: np.asarray(v) for k, v in stacked.items()}
+        cutoffs = np.asarray(self._np_cutoffs, np.float64)
+        out = []
+        for t in range(s["enacted"].shape[0]):
+            if not bool(s["enacted"][t]):
+                out.append([])
+                continue
+            entry = {"schedule": s["schedule"][t].tolist(),
+                     "cutoffs": cutoffs.tolist()}
+            for i in range(self.n_agents):
+                entry[str(i)] = {
+                    "income": float(s["income"][t, i]),
+                    "tax_paid": float(s["tax_paid"][t, i]),
+                    "marginal_rate": float(s["marginal_rate"][t, i]),
+                    "effective_rate": float(s["effective_rate"][t, i]),
+                    "lump_sum": float(s["lump_sum"][t]),
+                }
+            out.append(entry)
+        return out
 
     def metrics(self, state: EnvState):
         cs = state.comp[self.name]

@@ -4,11 +4,12 @@ The reference exports an `agents` registry of per-agent classes
 (ai_economist/foundation/agents/__init__.py, mobiles.py:11-18,
 planners.py:11-40) whose instances hold per-agent dict state. In this
 TPU-native engine agent state is structure-of-arrays inside `EnvState`
-(core/state.py), so agent *types* are static descriptors: they carry the
+(core/state.py), so agent *types* are static descriptors carrying the
 metadata the reference's classes did (name, embodiment, multi-action default,
-uniqueness) and are what `TpuEnv` consults when building action layouts and
-observation shapes. Registered here for API parity with
-`foundation.agents.<lookup>`.
+uniqueness). The registry exists for public-API parity with
+`foundation.agents.<lookup>` — `TpuEnv` itself takes the equivalent knobs
+directly (multi_action_mode_* constructor args, core/env.py:48-63) rather
+than reading these descriptors.
 """
 
 from __future__ import annotations

@@ -99,9 +99,22 @@ class Component:
     def metrics(self, state: EnvState) -> Dict[str, jnp.ndarray]:
         return {}
 
-    def dense_log_spec(self) -> Dict[str, tuple]:
-        """Shapes of per-step event arrays this component contributes."""
+    def dense_log_record(self, state: EnvState) -> Dict[str, jnp.ndarray]:
+        """Fixed-shape per-step event arrays for the dense log (jit-safe).
+
+        Components that emit event streams (trades/builds/gathers/taxes —
+        reference get_dense_log: continuous_double_auction.py:670-679,
+        build.py:256-266, move.py:212-222, redistribution.py:1188-1202)
+        stash the current step's events in their comp state during `step`
+        and surface them here; `DenseLogger` stacks the records over the
+        episode and `decode_dense_log` converts them to the reference's
+        ragged JSON layout on host."""
         return {}
+
+    def decode_dense_log(self, stacked) -> "list | None":
+        """Host-side: stacked [T, ...] records -> reference-format event list
+        (one entry per timestep), or None if this component logs nothing."""
+        return None
 
     @property
     def short(self) -> str:

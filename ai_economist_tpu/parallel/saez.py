@@ -29,6 +29,12 @@ def sync_saez_buffers(states: EnvState, component_name: str = "PeriodicBracketTa
     R * buffer_size.
     """
     cs = states.comp[component_name]
+    if "global_buf" not in cs:
+        # Component built without a global buffer (saez_global_replicas=0):
+        # nothing to sync. The training runner auto-wires the capacity from
+        # num_envs (run.py build_trainer), so this path only triggers for
+        # hand-built envs — degrade to a no-op rather than crash.
+        return states
     buf = cs["buf"]  # [R, S, 2]
     count = cs["buf_count"]  # [R]
     R, S, _ = buf.shape

@@ -229,3 +229,59 @@ class RBCTrainer:
             if callback:
                 callback(ep, m)
         return params, history
+
+    # ------------------------------------------------------------------
+    # Best-response mode (reference rbc/cuda_manager.py:1051-1382):
+    # all three classes act from their (pre-trained) policies during the
+    # rollout, but ONLY `train_type` receives gradient updates — the other
+    # two stay byte-identical, serving as a fixed environment against which
+    # the trained class computes its best response.
+    # ------------------------------------------------------------------
+    @functools.partial(jax.jit, static_argnums=(0, 5))
+    def bestresponse_episode(self, params, opt_state, key, theta_anneal, train_type):
+        final_states, traj = self.rollout(params, key, theta_anneal)
+        budgets = {
+            "consumer": final_states.consumer_budget,
+            "firm": final_states.firm_budget,
+            "government": None,
+        }
+        p2, o2, aux = self._class_update(
+            train_type, params[train_type], opt_state, traj[train_type],
+            budgets[train_type],
+        )
+        new_params = dict(params)
+        new_params[train_type] = p2
+        metrics = {f"{train_type}/{kk}": vv for kk, vv in aux.items()}
+        for k in ("consumer", "firm", "government"):
+            metrics[f"{k}/mean_reward"] = traj[k]["rew"].mean()
+        return new_params, o2, metrics
+
+    def bestresponse_train(
+        self, key, train_type: str, num_episodes: int, params=None, callback=None
+    ):
+        """Best-response harness (cuda_manager.py:1051-1382 analog).
+
+        `params`: pre-trained per-class params (e.g. from `train` or a
+        checkpoint); falls back to a fresh init when None (the reference
+        always loads saved policies — pass yours for the real protocol).
+        Returns (params, reward_history) where reward_history[i] is the
+        trained class's mean episode reward, mirroring the reference's
+        printed starting/ending reward improvement summary (:1376-1380).
+        """
+        assert train_type in ("consumer", "firm", "government")
+        if params is None:
+            params, _ = self.init(key)
+        opt_state = self.tx.init(params[train_type])
+        rewards = []
+        history = []
+        for ep in range(num_episodes):
+            key, k = jax.random.split(key)
+            params, opt_state, metrics = self.bestresponse_episode(
+                params, opt_state, k, jnp.asarray(1.0), train_type
+            )
+            m = {kk: float(vv) for kk, vv in metrics.items()}
+            rewards.append(m[f"{train_type}/mean_reward"])
+            history.append(m)
+            if callback:
+                callback(ep, m)
+        return params, rewards, history

@@ -44,13 +44,33 @@ def build_env(cfg: Dict[str, Any]):
 
 
 def build_trainer(cfg: Dict[str, Any]) -> TwoLevelTrainer:
-    env = build_env(cfg)
     t = cfg.get("trainer", {})
+    num_envs = int(t.get("num_envs", 32))
+    # Auto-wire the Saez global buffer to the replica count: the reference
+    # sizes its global buffer to the worker fleet implicitly by concatenating
+    # per-worker buffers (utils/remote.py:56-73); here the capacity is static,
+    # so default it to num_envs unless the config pins it explicitly.
+    cfg = dict(cfg)
+    env_section = dict(cfg["env"])
+    comps = []
+    for spec in env_section.get("components", []):
+        if isinstance(spec, dict):
+            (name, kw), = spec.items()
+        else:
+            name, kw = spec
+        kw = dict(kw)
+        if (name == "PeriodicBracketTax" and kw.get("tax_model") == "saez"
+                and "saez_global_replicas" not in kw):
+            kw["saez_global_replicas"] = num_envs
+        comps.append((name, kw))
+    env_section["components"] = comps
+    cfg["env"] = env_section
+    env = build_env(cfg)
     ppo_fields = {k: v for k, v in t.items() if k in PPOConfig._fields}
     models = cfg.get("models", {})
     return TwoLevelTrainer(
         env,
-        num_envs=int(t.get("num_envs", 32)),
+        num_envs=num_envs,
         cfg=PPOConfig(**ppo_fields),
         model=(models.get("agents", "conv_lstm"), models.get("planner", "conv_lstm")),
         train_planner=bool(t.get("train_planner", True)),

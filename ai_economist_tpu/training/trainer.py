@@ -104,9 +104,15 @@ class TwoLevelTrainer:
         self.model_a = model_classes[model_a_name](
             num_actions=a_actions, **(model_kwargs or {})
         )
-        self.model_p = model_classes[model_p_name](
-            num_actions=p_actions, **(planner_model_kwargs or model_kwargs or {})
-        )
+        if not self.has_planner_actions:
+            # No planner action subspaces in this build (e.g. saez taxes,
+            # where rates come from the formula, not the planner): a trivial
+            # 1-action random policy stands in — its outputs are never used.
+            self.model_p = RandomPolicy(num_actions=1)
+        else:
+            self.model_p = model_classes[model_p_name](
+                num_actions=p_actions, **(planner_model_kwargs or model_kwargs or {})
+            )
         self.tx = optax.chain(
             optax.clip_by_global_norm(self.cfg.max_grad_norm),
             optax.adam(self.cfg.lr),

@@ -120,6 +120,15 @@ class DenseLogger:
         rec["world"] = jnp.where(
             log_world, W.map_state(self.env.world, state), jnp.nan
         )
+        # Component event streams (trades/builds/gathers/taxes —
+        # base_env.py:802-812 back-fills get_dense_log per component).
+        events = {}
+        for comp in self.env.components:
+            r = comp.dense_log_record(state)
+            if r:
+                events[comp.name] = r
+        if events:
+            rec["events"] = events
         return rec
 
     def decode(self, stacked: Dict[str, np.ndarray]) -> Dict[str, Any]:
@@ -167,4 +176,17 @@ class DenseLogger:
                     {k: world_t[ci].tolist()
                      for ci, k in enumerate(spec.map_keys)}
                 )
+            else:
+                # Reference keeps one (falsy) entry per un-logged timestep so
+                # indices line up (vis_world_range filters on truthiness).
+                out["world"].append({})
+        # Component event streams at their shorthand keys
+        # (base_env.py:802-812: "Trade", "Build", "Gather", "PeriodicTax").
+        events = stacked.get("events", {})
+        for comp in self.env.components:
+            if comp.name not in events:
+                continue
+            decoded = comp.decode_dense_log(events[comp.name])
+            if decoded is not None:
+                out[comp.short] = decoded
         return out

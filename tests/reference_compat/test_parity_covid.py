@@ -126,7 +126,8 @@ def _assert_step_matches(ref_env, tpu_state, t, rtol=2e-4):
 
 
 def _run_parity(episode_length, steps, scen_kwargs=None, seed=0,
-                components_kwargs=None, check_masks=True, rtol=2e-4):
+                components_kwargs=None, check_masks=True, rtol=2e-4,
+                respect_masks=True):
     ref_env, tpu_env = _make_pair(
         episode_length=episode_length,
         components_kwargs=components_kwargs,
@@ -157,16 +158,26 @@ def _run_parity(episode_length, steps, scen_kwargs=None, seed=0,
                 err_msg=f"planner mask diverged at t={t}",
             )
 
-        # Masked uniform-random actions, identical for both engines.
+        # Uniform-random actions, identical for both engines. By default
+        # restricted to mask-valid actions; respect_masks=False samples the
+        # raw action space to prove off-mask behavior also agrees (the
+        # reference applies any nonzero action even during cooldown,
+        # covid19_components.py:190-199 — so must we).
         ref_actions = {}
         a_flat = np.zeros((N_STATES,), np.int32)
         for i in range(N_STATES):
             mask = ref_a_masks[:, i]
-            a = int(rng.choice(np.flatnonzero(mask > 0)))
+            if respect_masks:
+                a = int(rng.choice(np.flatnonzero(mask > 0)))
+            else:
+                a = int(rng.integers(mask.shape[0]))
             ref_actions[str(i)] = a
             a_flat[i] = a
         pmask = np.asarray(ref_obs["p"]["action_mask"]).ravel()
-        p_act = int(rng.choice(np.flatnonzero(pmask > 0)))
+        if respect_masks:
+            p_act = int(rng.choice(np.flatnonzero(pmask > 0)))
+        else:
+            p_act = int(rng.integers(pmask.shape[0]))
         ref_actions["p"] = p_act
 
         ref_obs, ref_rew, _, _ = ref_env.step(ref_actions)
@@ -189,6 +200,13 @@ def test_covid_parity_fitted_model():
     """51 real states, fitted SIR/unemployment/economy, random masked
     actions, 40 steps: full state-trajectory + mask + reward parity."""
     _run_parity(episode_length=60, steps=40)
+
+
+def test_covid_parity_unmasked_actions():
+    """Off-mask robustness: raw uniform actions (masks ignored) still give
+    trajectory parity — the stringency cooldown and subsidy decision gates
+    behave identically under illegal actions in both engines."""
+    _run_parity(episode_length=45, steps=30, seed=9, respect_masks=False)
 
 
 def test_covid_parity_subsidy_and_vaccines():

@@ -66,6 +66,37 @@ def test_gym_adapter_reference_api():
     assert "social/productivity" in m
 
 
+def test_gym_adapter_spaces_synthesis():
+    """Space synthesis from a probe reset (reference env_wrapper.py:139-171,
+    tutorials/rllib/env_wrapper.py:74-101)."""
+    env = aet.make_env_instance(
+        "uniform/simple_wood_and_stone",
+        components=[("Build", {}), ("Gather", {}),
+                    ("PeriodicBracketTax", {"period": 5})],
+        n_agents=4, world_size=[10, 10], episode_length=5,
+    )
+    g = GymStyleEnv(env, seed=0)
+    obs_sp = g.observation_space
+    obs = g.reset()
+    # Every obs key is covered by a Box of the right shape, and contains().
+    for k, v in obs["0"].items():
+        sp = obs_sp[k]
+        assert tuple(sp.shape) == np.asarray(v).reshape(np.asarray(v).shape or (1,)).shape
+    assert obs_sp.contains({k: np.asarray(v).reshape(np.asarray(v).shape or (1,))
+                            for k, v in obs["0"].items()})
+    # Agents are single-action mode -> Discrete; planner multi -> MultiDiscrete.
+    assert g.action_space.n == env.agent_action_space.total_actions
+    nvec = g.action_space_pl.nvec
+    assert tuple(nvec.tolist()) == tuple(env.planner_action_space.action_dims)
+    assert g.observation_space_pl.contains(
+        {k: np.asarray(v).reshape(np.asarray(v).shape or (1,))
+         for k, v in obs["p"].items()})
+    # Sampled actions are accepted by the env.
+    a = {str(i): int(g.action_space.sample()) for i in range(4)}
+    a["p"] = g.action_space_pl.sample()
+    g.step(a)
+
+
 def test_dense_log_save_load():
     log = {"states": [{"0": {"inventory": {"Coin": 1.0}}}],
            "rewards": [{"0": 0.5, "p": np.float32(0.1)}],
@@ -92,3 +123,52 @@ def test_checkpoint_roundtrip():
         np.asarray(restored["params"]["w"]), np.arange(6.0).reshape(2, 3)
     )
     assert int(restored["step"]) == 7
+
+
+def test_plotting_breakdown_and_vis():
+    """Dense-log breakdown + world-range visualization
+    (tutorials/utils/plotting.py:176-444 analog), driven by real event
+    streams from a short episode."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import jax
+    from ai_economist_tpu.utils.logs import DenseLogger
+    from ai_economist_tpu.utils import plotting
+
+    env = aet.make_env_instance(
+        "uniform/simple_wood_and_stone",
+        components=[("Build", {}), ("ContinuousDoubleAuction", {"max_num_orders": 3}),
+                    ("Gather", {})],
+        n_agents=4, world_size=[10, 10], episode_length=12,
+    )
+    logger = DenseLogger(env, world_log_every=5)
+    key = jax.random.PRNGKey(0)
+    state = env.init_state(key)
+    state, obs = env.reset(state)
+    inv = state.inventory.at[:, env.world.res_idx("Coin")].set(20.0)
+    inv = inv.at[:, env.world.res_idx("Wood")].set(3.0)
+    inv = inv.at[:, env.world.res_idx("Stone")].set(3.0)
+    state = state.replace(inventory=inv)
+    step = jax.jit(env.step)
+    record = jax.jit(logger.record)
+    rng = np.random.default_rng(0)
+    recs = []
+    for t in range(12):
+        mask = np.asarray(obs["a"]["action_mask"])
+        a = np.array([rng.choice(np.nonzero(mask[i] > 0)[0]) for i in range(4)],
+                     np.int32)
+        state, obs, rew, done, _ = step(state, {"a": a})
+        recs.append(record(state, {"a": a}, rew))
+    stacked = jax.tree.map(lambda *xs: np.stack([np.asarray(x) for x in xs]), *recs)
+    dense = logger.decode(stacked)
+
+    assert len(dense["world"]) == 12  # entry per step, falsy when not logged
+    figs, incomes, endows, c_trades, all_builds = plotting.breakdown(dense)
+    assert figs[1] is not None and figs[2] is not None
+    assert len(incomes["Total"]) == 4 and len(endows) == 4
+    s = plotting.report(c_trades, all_builds, 4)
+    assert "Agent  0" in s and "Income (Build)" in s
+    ax = plotting.vis_builds(dense)
+    assert ax is not None
+    import matplotlib.pyplot as plt
+    plt.close("all")

@@ -92,9 +92,8 @@ def run_kernel_match(comp, bid_orders, ask_orders):
         jnp.asarray(bp), jnp.asarray(bl), jnp.asarray(ba),
         jnp.asarray(ap), jnp.asarray(al), jnp.asarray(aa),
     )
-    (b_act, a_act, t_buyer, t_seller, t_price, _t_bidp, _t_askp, t_count) = map(
-        np.asarray, out
-    )
+    (b_act, a_act, t_buyer, t_seller, t_price, _t_bidp, _t_askp,
+     _t_bidl, _t_askl, t_count) = map(np.asarray, out)
     n = int(t_count)
     trades = list(zip(t_buyer[:n].tolist(), t_seller[:n].tolist(), t_price[:n].tolist()))
     return trades, b_act, a_act

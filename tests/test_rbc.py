@@ -162,3 +162,32 @@ def test_rbc_trainer_runs():
     assert all(np.isfinite(float(v)) for v in metrics.values()), metrics
     assert not np.allclose(np.asarray(jax.tree.leaves(params["consumer"])[0]),
                            np.asarray(p0))
+
+
+def test_rbc_bestresponse_freezes_other_classes():
+    """Best-response mode (cuda_manager.py:1051-1382): only the trained
+    class's params move; the two frozen classes stay byte-identical."""
+    cfg = small_cfg(episode_length=8)
+    env = RBCEnvironment(cfg)
+    trainer = RBCTrainer(env, RBCTrainConfig(batch_size=4))
+    key = jax.random.PRNGKey(3)
+    params, _ = trainer.init(key)
+    before = jax.tree.map(lambda x: np.asarray(x).copy(), params)
+
+    params, rewards, history = trainer.bestresponse_train(
+        key, "firm", num_episodes=2, params=params
+    )
+    assert len(rewards) == 2 and all(np.isfinite(r) for r in rewards)
+    # Frozen classes byte-identical.
+    for frozen in ("consumer", "government"):
+        for a, b in zip(jax.tree.leaves(before[frozen]),
+                        jax.tree.leaves(params[frozen])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # Trained class moved.
+    moved = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(before["firm"]),
+                        jax.tree.leaves(params["firm"]))
+    )
+    assert moved
+    assert np.isfinite(history[0]["firm/policy_loss"])

@@ -202,3 +202,54 @@ def test_covid_training_config_end_to_end(tmp_path):
     ts = runner.main(str(run_dir))
     assert int(ts.iteration) == 2
     assert os.path.isdir(run_dir / "ckpts")
+
+
+def test_saez_sync_in_training_loop():
+    """Training loop with tax_model=saez + cross-replica buffer sync on:
+    build_trainer auto-wires saez_global_replicas=num_envs, and
+    maybe_sync_saez_buffer folds every replica's local buffer into the
+    shared global buffer (utils/remote.py:56-73 analog, VERDICT weak #6)."""
+    from ai_economist_tpu.training.run import build_trainer, maybe_sync_saez_buffer
+
+    cfg = {
+        "env": {
+            "scenario_name": "uniform/simple_wood_and_stone",
+            "components": [
+                ("Build", {}),
+                ("Gather", {}),
+                ("PeriodicBracketTax", {"period": 3, "tax_model": "saez"}),
+            ],
+            "n_agents": 2,
+            "world_size": [8, 8],
+            "episode_length": 9,
+        },
+        "trainer": {"num_envs": 3, "rollout_len": 9, "epochs": 1},
+        "models": {"agents": "mlp", "planner": "linear"},
+    }
+    trainer = build_trainer(cfg)
+    comp = trainer.env.get_component("PeriodicBracketTax")
+    assert comp.global_capacity == 3 * comp.buffer_size
+
+    ts = trainer.init(jax.random.PRNGKey(0))
+    ts, metrics = trainer.train_iteration(ts, 0.02, 0.02)
+    assert np.isfinite(float(metrics["a/policy_loss"]))
+    ts2 = maybe_sync_saez_buffer(trainer, ts)
+    cs = ts2.env_states.comp["PeriodicBracketTax"]
+    counts = np.asarray(cs["buf_count"])
+    g = np.asarray(cs["global_count"])
+    assert (g == counts.sum()).all(), (g, counts)
+    # Every replica sees the identical global buffer.
+    gb = np.asarray(cs["global_buf"])
+    for r in range(1, 3):
+        np.testing.assert_allclose(np.sort(gb[0], axis=0), np.sort(gb[r], axis=0))
+    # Hand-built env without a global buffer: sync degrades to a no-op.
+    from ai_economist_tpu.parallel.saez import sync_saez_buffers
+    env2 = tiny_env(components=[
+        ("Gather", {}),
+        ("PeriodicBracketTax", {"period": 3, "tax_model": "saez"}),
+    ])
+    from ai_economist_tpu.adapters.batched import BatchedEnv
+    batch = BatchedEnv(env2, 2, auto_reset=True)
+    states, _ = batch.reset(jax.random.PRNGKey(1))
+    out = sync_saez_buffers(states)
+    assert out is states
