@@ -143,6 +143,9 @@ class ContinuousDoubleAuction(Component):
         # to preserve the per-agent bid-then-ask escrow sequence; matching is
         # vmapped over the commodity axis so the sequential match rounds of
         # the books run in parallel.
+        # Order creation is scatter-free: the per-agent "first free slot"
+        # write becomes a one-hot slot mask merged elementwise (the channel
+        # index ci is static, so .at[ci] is a cheap static-slice update).
         for ci, c in enumerate(self.commodities):
             c_res = spec.res_idx(c)
 
@@ -155,17 +158,17 @@ class ContinuousDoubleAuction(Component):
             )
             do = want & can
             free = jnp.argmin(b_act[ci], axis=1)  # first inactive slot per agent
-            b_price = b_price.at[ci, agent_ids, free].set(
-                jnp.where(do, price, b_price[ci, agent_ids, free])
+            slot = jax.nn.one_hot(free, M) * do[:, None]  # [N, M]
+            slot_b = slot > 0.5
+            b_price = b_price.at[ci].set(
+                jnp.where(slot_b, price[:, None], b_price[ci])
             )
-            b_life = b_life.at[ci, agent_ids, free].set(
-                jnp.where(do, 0, b_life[ci, agent_ids, free])
-            )
-            b_act = b_act.at[ci, agent_ids, free].set(
-                do | b_act[ci, agent_ids, free]
-            )
+            b_life = b_life.at[ci].set(jnp.where(slot_b, 0, b_life[ci]))
+            b_act = b_act.at[ci].set(b_act[ci] | slot_b)
             df = do.astype(jnp.float32)
-            bid_hist = bid_hist.at[ci, agent_ids, price].add(df)
+            bid_hist = bid_hist.at[ci].add(
+                jax.nn.one_hot(price, P) * df[:, None]
+            )
             n_orders = n_orders.at[ci].add(do.astype(jnp.int32))
             inv = inv.at[:, coin_i].add(-df * price)
             esc = esc.at[:, coin_i].add(df * price)
@@ -178,17 +181,17 @@ class ContinuousDoubleAuction(Component):
             can = (n_orders[ci] < self.max_num_orders) & (inv[:, c_res] > 0)
             do = want & can
             free = jnp.argmin(a_act[ci], axis=1)
-            a_price = a_price.at[ci, agent_ids, free].set(
-                jnp.where(do, aprice, a_price[ci, agent_ids, free])
+            slot = jax.nn.one_hot(free, M) * do[:, None]
+            slot_b = slot > 0.5
+            a_price = a_price.at[ci].set(
+                jnp.where(slot_b, aprice[:, None], a_price[ci])
             )
-            a_life = a_life.at[ci, agent_ids, free].set(
-                jnp.where(do, 0, a_life[ci, agent_ids, free])
-            )
-            a_act = a_act.at[ci, agent_ids, free].set(
-                do | a_act[ci, agent_ids, free]
-            )
+            a_life = a_life.at[ci].set(jnp.where(slot_b, 0, a_life[ci]))
+            a_act = a_act.at[ci].set(a_act[ci] | slot_b)
             df = do.astype(jnp.float32)
-            ask_hist = ask_hist.at[ci, agent_ids, aprice].add(df)
+            ask_hist = ask_hist.at[ci].add(
+                jax.nn.one_hot(aprice, P) * df[:, None]
+            )
             n_orders = n_orders.at[ci].add(do.astype(jnp.int32))
             inv = inv.at[:, c_res].add(-df)
             esc = esc.at[:, c_res].add(df)
@@ -208,70 +211,49 @@ class ContinuousDoubleAuction(Component):
             t_count,
         ) = jax.vmap(self._match)(b_price, b_life, b_act, a_price, a_life, a_act)
 
-        # Settlement + bookkeeping for all commodities in a handful of fused
-        # scatters over flattened targets (TPU scatters are per-op expensive;
-        # 2 scatters beat 2C small ones). Semantics identical to the
-        # reference's per-trade mutations (cda.py:313-343): scatter-add is
-        # order-independent and each (commodity, slot) pair is distinct.
+        # Settlement + bookkeeping for all commodities as one-hot
+        # contractions — zero scatters (each TPU scatter costs ~0.5-2 ms at
+        # 4096-env batch; these einsums over [C, K, N] fuse for free).
+        # Semantics identical to the reference's per-trade mutations
+        # (cda.py:313-343): addition is order-independent.
         C = len(self.commodities)
         R = spec.n_resources
         Pn = self.n_prices
         valid = jnp.arange(K)[None, :] < t_count[:, None]  # [C, K]
         vf = valid.astype(jnp.float32)
-        vi = valid.astype(jnp.int32)
-        tb = jnp.where(valid, t_buyer, 0)
-        ts = jnp.where(valid, t_seller, 0)
-        tp = jnp.where(valid, t_price, 0)
-        tpb = jnp.where(valid, t_bidp, 0)
-        tpa = jnp.where(valid, t_askp, 0)
-        tpf = tp.astype(jnp.float32)
-        res_c = res_cols[:, None]  # [C, 1] resource column per commodity
-        ci_idx = jnp.arange(C, dtype=jnp.int32)[:, None]
+        tpf = t_price.astype(jnp.float32)
+        buyer_oh = jax.nn.one_hot(t_buyer, N) * vf[..., None]   # [C, K, N]
+        seller_oh = jax.nn.one_hot(t_seller, N) * vf[..., None]
+        col_oh = jax.nn.one_hot(res_cols, R)                    # [C, R]
+        coin_oh = jax.nn.one_hot(coin_i, R)                     # [R]
+
+        buys = buyer_oh.sum(axis=1)       # [C, N] trades bought
+        sells = seller_oh.sum(axis=1)     # [C, N] trades sold
+        paid_out = jnp.einsum("ckn,ck->n", seller_oh, tpf)        # coin to sellers
+        excess = jnp.einsum("ckn,ck->n", buyer_oh,
+                            (t_bidp - t_price).astype(jnp.float32))
+        prepaid = jnp.einsum("ckn,ck->n", buyer_oh,
+                             t_bidp.astype(jnp.float32))
 
         # Inventory (cda.py:330-343): buyer +1 unit, seller +price coin,
-        # buyer +excess (bid - price) coin.
-        inv_idx = jnp.concatenate([
-            (tb * R + res_c).ravel(),
-            (ts * R + coin_i).ravel(),
-            (tb * R + coin_i).ravel(),
-        ])
-        inv_val = jnp.concatenate([
-            vf.ravel(), (vf * tpf).ravel(), (vf * (tpb - tpf)).ravel(),
-        ])
-        inv = inv.reshape(-1).at[inv_idx].add(inv_val).reshape(
-            self.n_agents, R
-        )
-        # Escrow: seller -1 unit, buyer -bid coin (the full pre-payment).
-        esc_idx = jnp.concatenate([
-            (ts * R + res_c).ravel(), (tb * R + coin_i).ravel(),
-        ])
-        esc_val = jnp.concatenate([(-vf).ravel(), (-vf * tpb).ravel()])
-        esc = esc.reshape(-1).at[esc_idx].add(esc_val).reshape(
-            self.n_agents, R
-        )
+        # buyer +excess (bid - price) coin. Escrow: seller -1 unit,
+        # buyer -bid coin (the full pre-payment).
+        inv = inv + buys.T @ col_oh + (paid_out + excess)[:, None] * coin_oh
+        esc = esc - sells.T @ col_oh - prepaid[:, None] * coin_oh
+
         # Histograms + price history (cda.py:313-325)
-        bid_hist = bid_hist.reshape(-1).at[
-            (ci_idx * N * Pn + tb * Pn + tpb).ravel()
-        ].add((-vf).ravel()).reshape(C, N, Pn)
-        ask_hist = ask_hist.reshape(-1).at[
-            (ci_idx * N * Pn + ts * Pn + tpa).ravel()
-        ].add((-vf).ravel()).reshape(C, N, Pn)
-        price_history = price_history.reshape(-1).at[
-            (ci_idx * N * Pn + ts * Pn + tp).ravel()
-        ].add(vf.ravel()).reshape(C, N, Pn)
-        n_orders = n_orders.reshape(-1).at[
-            jnp.concatenate([(ci_idx * N + ts).ravel(),
-                             (ci_idx * N + tb).ravel()])
-        ].add(jnp.concatenate([(-vi).ravel(), (-vi).ravel()])).reshape(C, N)
+        bid_hist = bid_hist - jnp.einsum(
+            "ckn,ckp->cnp", buyer_oh, jax.nn.one_hot(t_bidp, Pn))
+        ask_hist = ask_hist - jnp.einsum(
+            "ckn,ckp->cnp", seller_oh, jax.nn.one_hot(t_askp, Pn))
+        price_history = price_history + jnp.einsum(
+            "ckn,ckp->cnp", seller_oh, jax.nn.one_hot(t_price, Pn))
+        n_orders = n_orders - (buys + sells).astype(jnp.int32)
         # Metrics
-        sell_n = sell_n.reshape(-1).at[(ci_idx * N + ts).ravel()].add(
-            vi.ravel()).reshape(C, N)
-        sell_ps = sell_ps.reshape(-1).at[(ci_idx * N + ts).ravel()].add(
-            (vf * tpf).ravel()).reshape(C, N)
-        buy_n = buy_n.reshape(-1).at[(ci_idx * N + tb).ravel()].add(
-            vi.ravel()).reshape(C, N)
-        buy_ps = buy_ps.reshape(-1).at[(ci_idx * N + tb).ravel()].add(
-            (vf * tpf).ravel()).reshape(C, N)
+        sell_n = sell_n + sells.astype(jnp.int32)
+        sell_ps = sell_ps + jnp.einsum("ckn,ck->cn", seller_oh, tpf)
+        buy_n = buy_n + buys.astype(jnp.int32)
+        buy_ps = buy_ps + jnp.einsum("ckn,ck->cn", buyer_oh, tpf)
         n_trades = n_trades + t_count.sum()
 
         # ----- expire, all commodities at once (cda.py:352-406) -----
@@ -327,9 +309,14 @@ class ContinuousDoubleAuction(Component):
         return state.replace(inventory=inv, escrow=esc, endogenous=endo, comp=comp)
 
     # ------------------------------------------------------------------
-    def _match(self, b_price, b_life, b_act, a_price, a_life, a_act):
+    def _match(self, b_price, b_life, b_act, a_price, a_life, a_act,
+               trips=None, unroll=2):
         """One commodity's matching pass. Inputs are [N, M]; returns updated
-        active masks plus trade records (arrays of capacity K)."""
+        active masks plus trade records (arrays of capacity K).
+
+        trips/unroll control the round loop (default: the K+N worst case);
+        exposed for profiling experiments only — correctness requires the
+        default trip count."""
         N, M, K = self.n_agents, self.M, self.K
         L = self.order_duration + 2  # lifetime never exceeds duration + 1
 
@@ -343,11 +330,26 @@ class ContinuousDoubleAuction(Component):
         kb = jnp.where(ba, kb, big)
         ka = (ap * L + (L - 1 - al)) * N + owner
         ka = jnp.where(aa, ka, big)
-        b_ord = jnp.argsort(kb)
-        a_ord = jnp.argsort(ka)
 
-        sbp, sbl, sba, sbo = bp[b_ord], bl[b_ord], ba[b_ord], owner[b_ord]
-        sap, sal, saa, sao = ap[a_ord], al[a_ord], aa[a_ord], owner[a_ord]
+        # Counting-rank permutation instead of argsort: XLA's TPU sort costs
+        # ~2 ms per call at 4096-env batch while the O(K^2) comparison matrix
+        # (K=N*M, tiny) fuses into the surrounding elementwise work for free.
+        # Stable: ties broken by slot index, identical to stable argsort.
+        from ai_economist_tpu.ops import permutation_matrix, rank_small, take_by_rank
+
+        # Permutation matrices: Pb[slot, pos]; sorted = slot-axis contraction.
+        Pb = permutation_matrix(rank_small(kb))
+        Pa = permutation_matrix(rank_small(ka))
+        permute = take_by_rank
+
+        sbp = permute(Pb, bp).astype(jnp.int32)
+        sbl = permute(Pb, bl).astype(jnp.int32)
+        sba = permute(Pb, ba) > 0.5
+        sbo = permute(Pb, owner).astype(jnp.int32)
+        sap = permute(Pa, ap).astype(jnp.int32)
+        sal = permute(Pa, al).astype(jnp.int32)
+        saa = permute(Pa, aa) > 0.5
+        sao = permute(Pa, owner).astype(jnp.int32)
 
         Z = jnp.zeros((K,), jnp.int32)
         init = dict(
@@ -375,14 +377,11 @@ class ContinuousDoubleAuction(Component):
         # are price-ascending, so if that first eligible ask doesn't cross,
         # none will: the buyer is killed — otherwise they trade. Each round
         # therefore performs exactly one trade (≤ K) or one kill (≤ N), and
-        # a round with no eligible bid is a no-op, so K+N fully-vectorized
-        # rounds reproduce the sequential machine. We run them as a
-        # while_loop with an any-eligible-bid termination test: in the
-        # steady state the books left by the previous step's match cannot
-        # cross each other (at match end every surviving top bid was below
-        # the then-minimum non-self ask, and consuming asks only raises that
-        # minimum), so real rounds are bounded by new orders + kills ≈ 3N,
-        # not K+N — a large win over a fixed-trip loop at 4096-env batch.
+        # a round with no eligible bid is a no-op, so a fixed-trip fori_loop
+        # of K+N fully-vectorized rounds reproduces the sequential machine.
+        # (A while_loop with an any-eligible-bid early exit was measured
+        # SLOWER under the 4096-env vmap: every env waits for the batch
+        # maximum and the loop loses unrolling.)
 
         def round_fn(s):
             bid_elig = s["b_active"] & (bid_owner_oh & s["possible"]).any(-1)
@@ -424,23 +423,19 @@ class ContinuousDoubleAuction(Component):
                 "t_bidl": put(s["t_bidl"], sbl_i),
                 "t_askl": put(s["t_askl"], sal_i),
                 "t_count": tc + is_trade,
-                "rounds": s["rounds"] + 1,
             }
 
-        init["rounds"] = jnp.zeros((), jnp.int32)
+        trips = (K + N) if trips is None else int(trips)
+        out = jax.lax.fori_loop(
+            0, trips, lambda _, s: round_fn(s), init, unroll=unroll
+        )
 
-        def cond_fn(s):
-            elig = s["b_active"] & (bid_owner_oh & s["possible"]).any(-1)
-            # K+N is the worst-case round bound (one trade or one kill per
-            # round); the any-eligible-bid test exits far earlier in steady
-            # state.
-            return elig.any() & (s["rounds"] < K + N)
-
-        out = jax.lax.while_loop(cond_fn, round_fn, init)
-
-        # Scatter surviving-order flags back to [N, M] slot layout.
-        b_act_new = jnp.zeros((K,), jnp.bool_).at[b_ord].set(out["b_active"])
-        a_act_new = jnp.zeros((K,), jnp.bool_).at[a_ord].set(out["a_active"])
+        # Inverse permutation back to [N, M] slot layout (pos -> slot
+        # contraction of the same one-hot matrices; no scatter needed).
+        b_act_new = jnp.einsum(
+            "sp,p->s", Pb, out["b_active"].astype(jnp.float32)) > 0.5
+        a_act_new = jnp.einsum(
+            "sp,p->s", Pa, out["a_active"].astype(jnp.float32)) > 0.5
         return (
             b_act_new.reshape(N, M),
             a_act_new.reshape(N, M),

@@ -26,6 +26,9 @@ from ai_economist_tpu.core.component import Component, component_registry
 from ai_economist_tpu.core.state import EnvState
 
 
+from ai_economist_tpu.ops import uniform_permutation
+
+
 @component_registry.add
 class Gather(Component):
     name = "Gather"
@@ -101,7 +104,8 @@ class Gather(Component):
             bonus_draws = jnp.asarray(draws["bonus"], jnp.float32)
         else:
             k_perm, k_bonus = jax.random.split(key)
-            order = jax.random.permutation(k_perm, n)
+            # Sort-free (jax.random.permutation lowers to a ~2 ms XLA sort).
+            order = uniform_permutation(k_perm, n)
             # One bonus-collection coin flip per (agent, collectible) per step.
             bonus_draws = jax.random.uniform(k_bonus, (n, len(colls)))
 
@@ -112,37 +116,59 @@ class Gather(Component):
         # Row/col deltas for actions 0..4 (0 = stay).
         droff = jnp.array([0, 0, 0, -1, 1], jnp.int32)
         dcoff = jnp.array([0, -1, 1, 0, 0], jnp.int32)
+        # Static collectible-column projection [C, R]: keeps the inventory
+        # update elementwise instead of a scatter.
+        col_proj_np = [[0.0] * spec.n_resources for _ in colls]
+        for j, rname in enumerate(colls):
+            col_proj_np[j][spec.res_idx(rname)] = 1.0
+        col_proj = jnp.asarray(col_proj_np)
 
+        # The body is pure one-hot arithmetic: batched dynamic gathers and
+        # scatters inside a vmapped scan each cost ~0.5-2 ms per op at
+        # 4096-env batch on TPU, while the equivalent one-hot outer products
+        # over the (tiny) [N, H, W] grids fuse into a few elementwise
+        # kernels (see ai_economist_tpu/ops docstring for measurements).
         def body(carry, i):
             loc, res, occ, inv, endo, gn = carry
-            a = acts[i]
-            r, c = loc[i, 0], loc[i, 1]
-            nr, nc = r + droff[a], c + dcoff[a]
+            sel = jax.nn.one_hot(i, n)  # [N] float, this agent
+            selb = sel > 0.5
+            fsel = lambda x: jnp.sum(sel * x.astype(jnp.float32)).astype(jnp.int32)
+            a = fsel(acts)
+            r = fsel(loc[:, 0])
+            c = fsel(loc[:, 1])
+            a_oh = jax.nn.one_hot(a, 5)
+            nr = r + jnp.sum(a_oh * droff).astype(jnp.int32)
+            nc = c + jnp.sum(a_oh * dcoff).astype(jnp.int32)
             in_bounds = (nr >= 0) & (nr < H) & (nc >= 0) & (nc < Wd)
             nr_c = jnp.clip(nr, 0, H - 1)
             nc_c = jnp.clip(nc, 0, Wd - 1)
-            can = in_bounds & access[i, nr_c, nc_c] & ~occ[nr_c, nc_c]
+            old_oh = jax.nn.one_hot(r, H)[:, None] * jax.nn.one_hot(c, Wd)[None, :]
+            new_oh = jax.nn.one_hot(nr_c, H)[:, None] * jax.nn.one_hot(nc_c, Wd)[None, :]
+            acc_ok = jnp.sum(sel[:, None, None] * access * new_oh[None]) > 0.5
+            occupied = jnp.sum(occ * new_oh) > 0.5
+            can = in_bounds & acc_ok & ~occupied
             moved = (a > 0) & can
             fr = jnp.where(moved, nr_c, r)
             fc = jnp.where(moved, nc_c, c)
-            # Update occupancy: vacate old tile, claim new one.
-            occ = occ.at[r, c].set(jnp.where(moved, False, occ[r, c]))
-            occ = occ.at[fr, fc].set(True)
-            loc = loc.at[i, 0].set(fr).at[i, 1].set(fc)
-            endo = endo.at[i, lab_i].add(
-                jnp.where(moved, self.move_labor, 0.0)
-            )
+            fin_oh = jnp.where(moved, new_oh, old_oh)
+            # Vacate old tile if moved, claim the final one.
+            occ = (occ & ~((old_oh > 0.5) & moved)) | (fin_oh > 0.5)
+            loc = jnp.where(selb[:, None], jnp.stack([fr, fc])[None, :], loc)
             # Collect resources at the final tile (move.py:136-151).
-            health = res[:, fr, fc]  # [C]
+            health = jnp.sum(res * fin_oh[None], axis=(1, 2))  # [C]
             collect = health >= 1.0
             bonus = (
-                bonus_draws[i] < state.agent_fields["bonus_gather_prob"][i]
+                sel @ bonus_draws
+                < jnp.sum(sel * state.agent_fields["bonus_gather_prob"])
             ).astype(jnp.float32)
             n_gathered = (1.0 + bonus) * collect
-            inv = inv.at[i, res_cols].add(n_gathered)
-            res = res.at[:, fr, fc].add(-collect.astype(jnp.float32))
-            endo = endo.at[i, lab_i].add(self.collect_labor * collect.sum())
-            gn = gn.at[i].set(n_gathered)
+            inv = inv + sel[:, None] * (n_gathered @ col_proj)[None, :]
+            res = res - collect.astype(jnp.float32)[:, None, None] * fin_oh[None]
+            labor = jnp.where(moved, self.move_labor, 0.0) + (
+                self.collect_labor * collect.sum()
+            )
+            endo = endo.at[:, lab_i].add(sel * labor)
+            gn = jnp.where(selb[:, None], n_gathered[None, :], gn)
             return (loc, res, occ, inv, endo, gn), None
 
         gn0 = jnp.zeros((n, len(colls)), jnp.float32)

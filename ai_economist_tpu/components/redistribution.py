@@ -568,7 +568,10 @@ class PeriodicBracketTax(Component):
         tax_phase = cycle.astype(jnp.float32) / self.period
         rates = self.curr_marginal_rates(state, cs)
         last_income_obs = cs["last_income"] / self.period
-        sorted_income = jnp.sort(last_income_obs)
+        # Sort-free: jnp.sort costs ~2 ms/call on TPU in the per-step path.
+        from ai_economist_tpu.ops import sort_small
+
+        sorted_income = sort_small(last_income_obs)
         curr_marginal = self.marginal_rate(
             rates, state.total_endowment(coin_i) - cs["last_coin"]
         )

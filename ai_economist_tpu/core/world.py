@@ -115,13 +115,26 @@ class WorldSpec:
 # ---------------------------------------------------------------------------
 
 
-def occupancy_map(spec: WorldSpec, loc: jnp.ndarray) -> jnp.ndarray:
-    """[H, W] bool: True where a mobile agent stands. loc [-1,-1] = off-board."""
-    occ = jnp.zeros((spec.height, spec.width), jnp.bool_)
-    on_board = loc[:, 0] >= 0
+def loc_one_hot(spec: WorldSpec, loc: jnp.ndarray) -> jnp.ndarray:
+    """[N, H, W] float32 one-hot of each agent's tile; all-zero off-board.
+
+    Scatter-free building block: TPU scatters/gathers cost ~0.5-2 ms per op
+    at large env batch (see ai_economist_tpu/ops), so per-agent position
+    masks are built as one-hot outer products instead.
+    """
+    on_board = (loc[:, 0] >= 0).astype(jnp.float32)[:, None, None]
     r = jnp.clip(loc[:, 0], 0, spec.height - 1)
     c = jnp.clip(loc[:, 1], 0, spec.width - 1)
-    return occ.at[r, c].max(on_board)
+    oh = (
+        jax.nn.one_hot(r, spec.height)[:, :, None]
+        * jax.nn.one_hot(c, spec.width)[:, None, :]
+    )
+    return oh * on_board
+
+
+def occupancy_map(spec: WorldSpec, loc: jnp.ndarray) -> jnp.ndarray:
+    """[H, W] bool: True where a mobile agent stands. loc [-1,-1] = off-board."""
+    return loc_one_hot(spec, loc).sum(axis=0) > 0.5
 
 
 def accessibility(spec: WorldSpec, state: EnvState) -> jnp.ndarray:
@@ -141,13 +154,13 @@ def accessibility(spec: WorldSpec, state: EnvState) -> jnp.ndarray:
 
 
 def loc_map(spec: WorldSpec, loc: jnp.ndarray) -> jnp.ndarray:
-    """[H, W] int32 map of agent indices; -1 where no agent (world.py:407-416)."""
-    out = -jnp.ones((spec.height, spec.width), jnp.int32)
-    on_board = loc[:, 0] >= 0
-    r = jnp.clip(loc[:, 0], 0, spec.height - 1)
-    c = jnp.clip(loc[:, 1], 0, spec.width - 1)
-    ids = jnp.where(on_board, jnp.arange(spec.n_agents, dtype=jnp.int32), -1)
-    return out.at[r, c].max(ids)
+    """[H, W] int32 map of agent indices; -1 where no agent (world.py:407-416).
+
+    Agents occupy distinct tiles, so a sum of (idx+1)-weighted one-hots
+    minus 1 reproduces the scatter exactly."""
+    oh = loc_one_hot(spec, loc)
+    ids1 = jnp.arange(1, spec.n_agents + 1, dtype=jnp.float32)[:, None, None]
+    return (oh * ids1).sum(axis=0).astype(jnp.int32) - 1
 
 
 def map_state(spec: WorldSpec, state: EnvState) -> jnp.ndarray:
