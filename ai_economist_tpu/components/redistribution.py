@@ -332,7 +332,7 @@ class PeriodicBracketTax(Component):
         log_z0 = (sy - elas * sx) / jnp.maximum(n, 1.0)
         instant = jnp.maximum(elas, 0.0)
         elas_t = 0.02 * instant + 0.98 * elas_tm1
-        ok = (n >= 10) & (tau_std > 1e-6)
+        ok = (n >= 10) & (tau_std >= 1e-6)
         return (
             jnp.where(ok, elas_t, elas_tm1),
             jnp.where(ok, log_z0, log_z0_tm1),
@@ -421,20 +421,27 @@ class PeriodicBracketTax(Component):
         avg = burdens / self.bracket_sizes[: self.n_brackets - 1]
         return jnp.concatenate([avg, bin_rates[-1:]])
 
-    def _saez_rates(self, state: EnvState, cs, key):
+    def _saez_rates(self, state: EnvState, cs, key, draws=None):
         """Compute a new period's bracket rates from the Saez formula, or
-        random rates during buffer warmup (redistribution.py:437-510)."""
+        random rates during buffer warmup (redistribution.py:437-510).
+
+        draws: optional {"saez_rates": [B]} — recorded reference warmup
+        uniforms injected by the parity harness in place of the key-derived
+        draw (reference redistribution.py:452-456)."""
         data, mask = self._buffer_contents(cs)
         n_samples = mask.sum()
         reached = cs["reached_min_samples"] | (n_samples >= self.buffer_size)
 
         def random_rates(_):
-            r = jax.random.uniform(
-                key,
-                (self.n_brackets,),
-                minval=self.rate_min,
-                maxval=self.curr_rate_max(state),
-            )
+            if draws is not None:
+                r = jnp.asarray(draws["saez_rates"], jnp.float32)
+            else:
+                r = jax.random.uniform(
+                    key,
+                    (self.n_brackets,),
+                    minval=self.rate_min,
+                    maxval=self.curr_rate_max(state),
+                )
             return (
                 r,
                 cs["elas_t"], cs["elas_tm1"],
@@ -477,7 +484,7 @@ class PeriodicBracketTax(Component):
     # ------------------------------------------------------------------
     # step
     # ------------------------------------------------------------------
-    def step(self, state: EnvState, a_actions, p_actions, key) -> EnvState:
+    def step(self, state: EnvState, a_actions, p_actions, key, draws=None) -> EnvState:
         cs = dict(state.comp[self.name])
         coin_i = self.spec.res_idx("Coin")
         cycle = cs["tax_cycle_pos"]
@@ -494,7 +501,7 @@ class PeriodicBracketTax(Component):
                 cycle == 1, new_idx, cs["curr_rate_indices"]
             )
         elif self.tax_model == "saez":
-            saez_updates = self._saez_rates(state, cs, key)
+            saez_updates = self._saez_rates(state, cs, key, draws=draws)
             for k, v in saez_updates.items():
                 cs[k] = jnp.where(cycle == 1, v, cs[k])
 

@@ -90,6 +90,7 @@ class DrawRecorder:
         self._perms = []
         self._move_rands = []
         self._rand_fields = []
+        self._uniform_fields = []
 
     # --- patched call sites -------------------------------------------------
     def _move_rand(self):
@@ -98,8 +99,20 @@ class DrawRecorder:
         return v
 
     def _np_rand(self, *shape):
+        """np.random.rand patched globally; draws are TAGGED by the calling
+        function's name so new call sites can't silently confuse consumers
+        (e.g. 'scenario_step' = regrowth fields, dynamic_layout.py:461)."""
         v = self.rs.rand(*shape)
-        self._rand_fields.append(np.array(v, copy=True))
+        caller = sys._getframe(1).f_code.co_name
+        self._rand_fields.append((caller, np.array(v, copy=True)))
+        return v
+
+    def _np_uniform(self, low=0.0, high=1.0, size=None):
+        """np.random.uniform, tagged by caller — used by the Saez warmup
+        random rates (reference redistribution.py:452-456)."""
+        v = self.rs.uniform(low, high, size)
+        caller = sys._getframe(1).f_code.co_name
+        self._uniform_fields.append((caller, np.array(v, copy=True)))
         return v
 
     def __enter__(self):
@@ -125,24 +138,29 @@ class DrawRecorder:
 
         self._orig_np_rand = np.random.rand
         np.random.rand = self._np_rand
+        self._orig_np_uniform = np.random.uniform
+        np.random.uniform = self._np_uniform
         return self
 
     def __exit__(self, *exc):
         self._ref_move.rand = self._orig_move_rand
         self._ref_world.World.get_random_order_agents = self._orig_order
         np.random.rand = self._orig_np_rand
+        np.random.uniform = self._orig_np_uniform
         return False
 
     def begin_step(self):
         self._perms.clear()
         self._move_rands.clear()
         self._rand_fields.clear()
+        self._uniform_fields.clear()
 
     def end_step(self):
         return {
             "perms": list(self._perms),
             "move_rands": list(self._move_rands),
             "rand_fields": list(self._rand_fields),
+            "uniform_fields": list(self._uniform_fields),
         }
 
 
@@ -272,10 +290,26 @@ def build_gather_draws(records, gather_events, tpu_env, gather_perm_index=0):
 
 def build_regrow_draws(records):
     """[2, H, W] uniforms in the reference's draw order: Wood then Stone
-    (dynamic_layout.py:445-471)."""
-    fields = records["rand_fields"]
+    (dynamic_layout.py:445-471). Filters on the 'scenario_step' caller tag."""
+    fields = [a for tag, a in records["rand_fields"] if tag == "scenario_step"]
     assert len(fields) == 2, f"expected 2 regrowth fields, got {len(fields)}"
     return {"regrow": np.stack(fields).astype(np.float32)}
+
+
+def build_saez_draws(records, n_brackets):
+    """Saez warmup random-rate injection for this step: the [B] uniform the
+    reference drew in compute_and_set_new_period_rates_from_saez_formula
+    (redistribution.py:452-456), or zeros when the formula path ran (the
+    injected value is unused there)."""
+    fields = [
+        a for tag, a in records["uniform_fields"]
+        if tag == "compute_and_set_new_period_rates_from_saez_formula"
+    ]
+    assert len(fields) <= 1, f"expected <=1 saez uniform draw, got {len(fields)}"
+    if fields:
+        assert fields[0].shape == (n_brackets,)
+        return {"saez_rates": fields[0].astype(np.float32)}
+    return {"saez_rates": np.zeros((n_brackets,), np.float32)}
 
 
 # ---------------------------------------------------------------------------
@@ -326,6 +360,64 @@ def assert_state_matches(ref_env, tpu_env, state, t, atol=1e-4):
             np.array([a.state["endogenous"][e] for a in agents], np.float32),
             atol=atol,
             err_msg=f"endogenous '{e}' diverged at t={t}",
+        )
+
+
+def assert_obs_matches(ref_obs, tpu_obs, n_agents, t, atol=1e-4):
+    """Assert observation-content parity between the engines.
+
+    Compares, bit-for-bit up to float32 atol:
+      * each agent's packaged "flat" vector (sorted-key concat — reference
+        base_env.py:562-612 vs core/obs.py:24-48), catching any key naming,
+        ordering, or value drift in what the policies actually consume;
+      * every kept (multi-dim / put_in_both) tensor: world-map, world-idx_map,
+        time, ...;
+      * the planner's "flat", kept tensors, and per-agent "p<idx>" sub-obs
+        (folded as the collated [N, F] "pa" tensor, base_env.py:694-698).
+    Also asserts neither side carries obs tensors the other lacks.
+    """
+    # --- mobile agents (reference: one dict per agent idx; TPU: collated) ---
+    tpu_a = tpu_obs["a"]
+    for i in range(n_agents):
+        ro = ref_obs[str(i)]
+        for k, v in ro.items():
+            if k == "action_mask":
+                continue  # asserted separately (flattened) by every suite
+            assert k in tpu_a, f"agent obs tensor '{k}' missing on TPU side (t={t})"
+            ref_v = np.asarray(v, np.float32)
+            tpu_v = np.asarray(tpu_a[k][i], np.float32)
+            np.testing.assert_allclose(
+                tpu_v, ref_v.reshape(tpu_v.shape), atol=atol,
+                err_msg=f"agent {i} obs '{k}' diverged at t={t}",
+            )
+        extra = set(tpu_a) - set(ro) - {"action_mask"}
+        assert not extra, f"TPU-only agent obs tensors {extra} (t={t})"
+
+    # --- planner ---
+    rp = ref_obs["p"]
+    tpu_p = tpu_obs["p"]
+    pa_keys = set()
+    for k, v in rp.items():
+        if k == "action_mask":
+            continue
+        ref_v = np.asarray(v, np.float32)
+        if k[:1] == "p" and k[1:].isdigit():
+            assert "pa" in tpu_p, f"planner per-agent obs missing on TPU side (t={t})"
+            tpu_v = np.asarray(tpu_p["pa"][int(k[1:])], np.float32)
+            pa_keys.add(k)
+        else:
+            assert k in tpu_p, f"planner obs tensor '{k}' missing on TPU side (t={t})"
+            tpu_v = np.asarray(tpu_p[k], np.float32)
+        np.testing.assert_allclose(
+            tpu_v, ref_v.reshape(tpu_v.shape), atol=atol,
+            err_msg=f"planner obs '{k}' diverged at t={t}",
+        )
+    extra = set(tpu_p) - set(rp) - {"action_mask", "pa"}
+    assert not extra, f"TPU-only planner obs tensors {extra} (t={t})"
+    if "pa" in tpu_p:
+        assert len(pa_keys) == n_agents, (
+            f"reference planner has {len(pa_keys)} p<idx> sub-obs, "
+            f"TPU 'pa' implies {n_agents} (t={t})"
         )
 
 

@@ -96,6 +96,7 @@ def _run_parity(seed, steps=30, order_duration=5, max_bid_ask=6):
 
             refbridge.assert_state_matches(ref_env, tpu_env, state, t)
             refbridge.assert_rewards_match(ref_rew, tpu_rew, n, t)
+            refbridge.assert_obs_matches(ref_obs, tpu_obs, n, t)
             ref_masks = np.stack(
                 [np.asarray(ref_obs[str(i)]["action_mask"]).ravel() for i in range(n)]
             )

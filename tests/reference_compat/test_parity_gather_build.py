@@ -80,6 +80,7 @@ def _run_parity(skill_dist, seed, steps=30):
 
             refbridge.assert_state_matches(ref_env, tpu_env, state, t)
             refbridge.assert_rewards_match(ref_rew, tpu_rew, n, t)
+            refbridge.assert_obs_matches(ref_obs, tpu_obs, n, t)
             # Next-step action masks agree bit for bit.
             ref_masks = np.stack(
                 [np.asarray(ref_obs[str(i)]["action_mask"]).ravel() for i in range(n)]

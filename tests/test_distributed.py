@@ -1,0 +1,122 @@
+"""Multi-host distributed execution tests (SURVEY §4: "multi-host tests using
+jax.distributed with CPU devices").
+
+The multi-process test spawns 2 OS processes x 4 virtual CPU devices each,
+joined via jax.distributed + Gloo collectives, and runs the REAL two-level
+PPO train step as one SPMD program over the global (host=2, env=4) mesh. Its
+results must agree with the same program on a single-process (host=1, env=8)
+mesh — the invariant that makes multi-host scaling a pure deployment detail,
+which is the TPU-native answer to the reference's Ray fan-out
+(reference tutorials/rllib/utils/remote.py:11-73).
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+from ai_economist_tpu.parallel import distributed as dist
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_WORKER = os.path.join(_REPO, "tests", "distributed_worker.py")
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_global_mesh_single_process_shape():
+    mesh = dist.make_global_mesh("env")
+    assert mesh.axis_names == (dist.HOST_AXIS, "env")
+    assert mesh.shape[dist.HOST_AXIS] == 1
+    assert mesh.shape["env"] == len(jax.devices())
+    assert dist.num_dp_devices(mesh) == len(jax.devices())
+    sl = dist.process_env_slice(16)
+    assert (sl.start, sl.stop) == (0, 16)
+
+
+def test_env_sharding_places_leading_axis():
+    mesh = dist.make_global_mesh("env")
+    n = len(jax.devices())
+    batch = {"x": np.arange(n * 4 * 3, dtype=np.float32).reshape(n * 4, 3)}
+    garr = dist.global_env_batch(batch, mesh)["x"]
+    assert garr.shape == (n * 4, 3)
+    # one leading-axis shard per device
+    assert len(garr.addressable_shards) == n
+    shard_rows = sorted(s.data.shape[0] for s in garr.addressable_shards)
+    assert shard_rows == [4] * n
+    np.testing.assert_array_equal(np.asarray(garr), batch["x"])
+
+    rep = dist.replicate({"w": np.ones((3, 3), np.float32)}, mesh)["w"]
+    assert np.asarray(rep).shape == (3, 3)
+    got = dist.fetch({"w": rep})["w"]
+    np.testing.assert_array_equal(got, np.ones((3, 3)))
+
+
+def test_single_process_distributed_trainer_runs():
+    """init_trainer_distributed + train_iteration on the degenerate 1-host
+    mesh: the exact code path multi-host uses, minus the process boundary."""
+    from tests.distributed_worker import run_train_steps
+
+    out = run_train_steps(num_iterations=1)
+    assert np.isfinite(out["params_a_checksum"])
+    assert np.isfinite(out["params_p_checksum"])
+    for v in out["final_metrics"].values():
+        assert np.isfinite(v)
+
+
+@pytest.mark.slow
+def test_multiprocess_agrees_with_single_process(tmp_path):
+    """2 processes x 4 devices vs 1 process x 8 devices: the same global
+    program. Param checksums must agree bit-for-bit-ish (collective reduction
+    order may differ across process topologies -> tiny float drift)."""
+    port = _free_port()
+    outs = [tmp_path / f"proc{i}.json" for i in range(2)]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, _WORKER, str(pid), "2", str(port), "4",
+             str(outs[pid]), "2"],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            cwd=_REPO,
+        )
+        for pid in range(2)
+    ]
+    for p in procs:
+        try:
+            _, err = p.communicate(timeout=280)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, err.decode()[-3000:]
+
+    single = tmp_path / "single.json"
+    p = subprocess.run(
+        [sys.executable, _WORKER, "0", "1", "0", "8", str(single), "2"],
+        capture_output=True, timeout=280, cwd=_REPO,
+    )
+    assert p.returncode == 0, p.stderr.decode()[-3000:]
+
+    results = [json.loads(o.read_text()) for o in outs]
+    ref = json.loads(single.read_text())
+
+    # Both workers hold identical replicated results (same SPMD program).
+    assert results[0]["params_a_checksum"] == results[1]["params_a_checksum"]
+    assert results[0]["params_p_checksum"] == results[1]["params_p_checksum"]
+
+    # And the 2-process global program matches the 1-process one.
+    for k in ("params_a_checksum", "params_p_checksum"):
+        np.testing.assert_allclose(results[0][k], ref[k], rtol=1e-6, err_msg=k)
+    for k, v in ref["final_metrics"].items():
+        np.testing.assert_allclose(
+            results[0]["final_metrics"][k], v, rtol=1e-4, atol=1e-6, err_msg=k
+        )

@@ -10,12 +10,22 @@ Prints a JSON breakdown to stdout.
 
 import argparse
 import json
+import os
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
 
 import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import jax.numpy as jnp
 
 import ai_economist_tpu as aet
