@@ -83,7 +83,7 @@ def make_global_mesh(
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     n_hosts = max(jax.process_count(), 1)
-    if devices is not None and n < len(jax.devices()):
+    if n < len(jax.devices()):
         n_hosts = 1  # explicit device subset (tests): treat as one host
     assert n % n_hosts == 0, (n, n_hosts)
     per_host = n // n_hosts

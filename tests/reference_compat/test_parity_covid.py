@@ -125,6 +125,100 @@ def _assert_step_matches(ref_env, tpu_state, t, rtol=2e-4):
     )
 
 
+def _ref_prefixed_obs(ref_env):
+    """Reference raw obs with engine prefixes: {'a'|'p': {key: array}}.
+
+    Mirrors base_env.py:644-675 naming ("world-" for scenario fields,
+    "<Component>-" for component fields, plus "time").
+    """
+    out = {"a": {}, "p": {}}
+    for idx, o in ref_env.generate_observations().items():
+        out[idx].update({f"world-{k}": np.asarray(v) for k, v in o.items()})
+    for comp in ref_env._components:
+        for idx, o in comp.obs().items():
+            out[idx].update(
+                {f"{comp.name}-{k}": np.asarray(v) for k, v in o.items()}
+            )
+    tval = ref_env.world.timestep / ref_env.episode_length
+    out["a"]["time"] = np.full((N_STATES,), tval)
+    out["p"]["time"] = np.array([tval])
+    return out
+
+
+def _assert_obs_matches_covid(ref_env, tpu_env, state, tpu_obs, t,
+                              rtol=2e-4, atol=1e-4):
+    """Observation-content parity for the covid env (collated layout).
+
+    The reference runs covid in collated mode (collate_agent_step_and_reset
+    _data=True): raw "a" entries carry the agent axis LAST ([k, N]), and
+    2-D collated arrays stay un-flattened in its packager; the TPU engine is
+    agent-first and flattens per-agent 1-D payloads into "flat". Content
+    parity is therefore asserted at two levels:
+      1. raw key-level: every prefixed obs key agrees (transposed where the
+         reference is [k, N]; the planner's agent_state as [6, N] raveled);
+      2. packaged level: the TPU "flat" vectors equal the concat of the
+         REFERENCE's values in the TPU packager's sorted-key order — i.e.
+         the policies consume identical numbers, arranged as documented.
+    """
+    ref = _ref_prefixed_obs(ref_env)
+    scen_obs = tpu_env.scenario.obs(state)
+    tpu_raw = {"a": {f"world-{k}": np.asarray(v) for k, v in scen_obs["a"].items()},
+               "p": {f"world-{k}": np.asarray(v) for k, v in scen_obs["p"].items()}}
+    for comp in tpu_env.components:
+        co = comp.obs(state)
+        for idx in ("a", "p"):
+            tpu_raw[idx].update(
+                {f"{comp.name}-{k}": np.asarray(v) for k, v in co.get(idx, {}).items()}
+            )
+    tpu_raw["a"]["time"] = np.asarray(tpu_obs["a"]["time"])
+    tpu_raw["p"]["time"] = np.asarray(tpu_obs["p"]["time"])
+
+    # --- 1. raw key-level parity ---
+    for idx in ("a", "p"):
+        assert set(ref[idx]) == set(tpu_raw[idx]), (
+            f"obs key sets diverged for '{idx}' at t={t}: "
+            f"{set(ref[idx]) ^ set(tpu_raw[idx])}"
+        )
+        for k, rv in ref[idx].items():
+            tv = tpu_raw[idx][k]
+            if idx == "a" and rv.ndim == 2 and k != "world-agent_index":
+                rv = rv.T  # reference collated [k, N] -> agent-first [N, k]
+            if idx == "p" and rv.ndim == 2:
+                rv = rv.reshape(-1)  # planner agent_state [6, N] raveled
+            np.testing.assert_allclose(
+                tv, rv.reshape(tv.shape), rtol=rtol, atol=atol,
+                err_msg=f"raw obs '{idx}/{k}' diverged at t={t}",
+            )
+
+    # --- 2. packaged flat built from REFERENCE values in TPU key order ---
+    from ai_economist_tpu.core.obs import flat_keys
+
+    a_keys = flat_keys({k: jnp.asarray(v) for k, v in tpu_raw["a"].items()},
+                       batch_ndim=1)
+    parts = []
+    for k in a_keys:
+        rv = ref["a"][k]
+        if rv.ndim == 2 and k != "world-agent_index":
+            rv = rv.T
+        parts.append(rv.reshape(N_STATES, -1) if rv.ndim == 2
+                     else rv.reshape(N_STATES, 1))
+    np.testing.assert_allclose(
+        np.asarray(tpu_obs["a"]["flat"]),
+        np.concatenate(parts, axis=1).astype(np.float32),
+        rtol=rtol, atol=atol,
+        err_msg=f"packaged agent flat obs diverged at t={t}",
+    )
+    p_keys = flat_keys({k: jnp.asarray(v) for k, v in tpu_raw["p"].items()},
+                       batch_ndim=0)
+    parts = [ref["p"][k].reshape(-1) for k in p_keys]
+    np.testing.assert_allclose(
+        np.asarray(tpu_obs["p"]["flat"]),
+        np.concatenate(parts).astype(np.float32),
+        rtol=rtol, atol=atol,
+        err_msg=f"packaged planner flat obs diverged at t={t}",
+    )
+
+
 def _run_parity(episode_length, steps, scen_kwargs=None, seed=0,
                 components_kwargs=None, check_masks=True, rtol=2e-4,
                 respect_masks=True):
@@ -186,6 +280,8 @@ def _run_parity(episode_length, steps, scen_kwargs=None, seed=0,
             {"a": jnp.asarray(a_flat), "p": jnp.asarray(p_act, jnp.int32)},
         )
         _assert_step_matches(ref_env, state, t, rtol=rtol)
+        if t <= 3 or t % 10 == 0:  # obs content: every step early, then decimated
+            _assert_obs_matches_covid(ref_env, tpu_env, state, obs, t, rtol=rtol)
 
         rew_ref_sum += np.asarray(ref_rew["a"], np.float64)
         rew_tpu_sum += np.asarray(rew["a"], np.float64)
