@@ -406,15 +406,26 @@ class Uniform(Scenario):
             # Pad with an extra all-ones channel marking in-bounds area
             # (dynamic_layout.py:541-546).
             ones_ch = jnp.ones((1, H, Wd), jnp.float32)
+            # Egocentric windows via one-hot row/col selection matmuls
+            # instead of per-agent dynamic_slice (a batched gather costing
+            # ~1-2 ms/op at 4096-env batch; see ai_economist_tpu/ops).
+            # NOTE (perf, measured on v5e at 4096 envs): this einsum pair is
+            # the top phase of the whole step (~6.4 ms net) and is
+            # OCCUPANCY-bound, not bandwidth- or flops-bound — 4096 tiny
+            # [44x35]x[35x315] matmuls with (8,128)-tiled intermediates.
+            # Measured alternatives that do NOT help: bf16/int8 operands,
+            # merged/cols-first/lane-batch einsum orders, flat or fused
+            # output layouts, XLA gathers (10-90 ms), and three Pallas
+            # kernels (per-env dot, batched-block dot, lane-roll: 8-19 ms —
+            # Mosaic cannot fuse the (K, K) minor pair into a packed lane
+            # dim, so every variant pays the same padded-tile writes).
+            # See PROFILE_r03.json notes.
             padded_map = jnp.pad(
                 jnp.concatenate([curr_map, ones_ch], axis=0),
                 ((0, 0), (w, w), (w, w)),
             )
             padded_idx = jnp.pad(idx_maps, ((0, 0), (w, w), (w, w)))
 
-            # Egocentric windows via one-hot row/col selection matmuls
-            # instead of per-agent dynamic_slice (a batched gather costing
-            # ~1-2 ms/op at 4096-env batch; see ai_economist_tpu/ops).
             win = jnp.arange(2 * w + 1)
             sel_r = jax.nn.one_hot(
                 state.loc[:, 0:1] + win[None, :], H + 2 * w
