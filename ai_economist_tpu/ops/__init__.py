@@ -73,14 +73,29 @@ def _perm_table(n: int):
 
 
 def uniform_permutation(key, n: int) -> jnp.ndarray:
-    """Exact-uniform random permutation of range(n) without a sort.
+    """Uniform random permutation of range(n) without a sort.
 
-    jax.random.permutation lowers to an XLA sort of random keys; for n <= 6
-    one randint into the precomputed n! table is exact-uniform and free.
-    Falls back to jax.random.permutation for larger n.
+    jax.random.permutation lowers to an XLA sort of random keys (~2 ms/call
+    at 4096-env batch). For n <= 6 one randint into the precomputed n! table
+    is exact-uniform and free. For larger n, counting-rank 64-bit random
+    keys (index tiebreak): still sort-free O(n^2), with residual non-
+    uniformity only on 64-bit key collisions (< n^2 / 2^64 per draw).
     """
     if n <= 6:
         table = jnp.asarray(_perm_table(n))
         idx = jax.random.randint(key, (), 0, table.shape[0])
         return table[idx]
-    return jax.random.permutation(key, n)
+    bits = jax.random.bits(key, (2, n), jnp.uint32)
+    hi, lo = bits[0], bits[1]
+    hj, hi_ = hi[None, :], hi[:, None]
+    lj, lo_ = lo[None, :], lo[:, None]
+    lt = (hj < hi_) | ((hj == hi_) & (lj < lo_))  # [i, j]: key_j < key_i
+    tri = jnp.arange(n)[None, :] < jnp.arange(n)[:, None]
+    eq_before = (hj == hi_) & (lj == lo_) & tri
+    rank = (lt | eq_before).sum(-1)
+    # perm[rank[i]] = i, via the one-hot permutation matrix (no scatter).
+    return (
+        (permutation_matrix(rank) * jnp.arange(n, dtype=jnp.float32)[:, None])
+        .sum(0)
+        .astype(jnp.int32)
+    )

@@ -69,7 +69,9 @@ class LayoutFromFile(Uniform):
             else os.path.join(MAP_DIR, env_layout_file)
         )
         with open(path) as f:
-            self.env_layout_string = f.read().strip()
+            # Only trim trailing newlines: leading spaces are empty tiles of
+            # the first row (a bare .strip() would shift the whole row).
+            self.env_layout_string = f.read().rstrip("\n")
         src = parse_layout(self.env_layout_string, (spec.height, spec.width))
         self._layout_maps = {k: jnp.asarray(v, jnp.float32) for k, v in src.items()}
 

@@ -52,10 +52,21 @@ class RBCTrainConfig(NamedTuple):
     government_training_start: int = 0
 
 
-def _norm_obs(x):
-    """Squash large-magnitude features (stand-in for the reference's digit
-    expansion, rbc/util.py:82-112)."""
-    return jnp.sign(x) * jnp.log1p(jnp.abs(x)) / 10.0
+def _digit_expand(x, dims, max_digits=10):
+    """Reference digit representation (rbc/util.py:82-105): for each dim in
+    `dims`, value v expands to max_digits entries (v % 10^(j+1)) / 10^(j+1);
+    other dims pass through in place. Keeps large-magnitude features
+    (budgets, stocks) O(1) for the policy MLPs."""
+    pieces = []
+    for i in range(x.shape[-1]):
+        if i in dims:
+            v = x[..., i]
+            pieces.append(jnp.stack(
+                [(v % (10.0 ** (j + 1))) / (10.0 ** (j + 1))
+                 for j in range(max_digits)], axis=-1))
+        else:
+            pieces.append(x[..., i:i + 1])
+    return jnp.concatenate(pieces, axis=-1)
 
 
 class RBCTrainer:
@@ -68,13 +79,47 @@ class RBCTrainer:
         }
         self.tx = optax.adam(cfg.lr)
 
+        # Reference-style obs normalization (rbc/constants.py:595-645 scaling
+        # factors + rbc/util.py:82-112 digit expansion): prices/wages/time
+        # scale to O(1); firm stocks and the agent's own budget — the
+        # unbounded-magnitude dims — expand to digit form.
+        import numpy as np
+
+        ecfg = env.cfg
+        F, G = ecfg.n_firms, ecfg.global_state_dim
+        max_price = max(float(np.max(np.asarray(ecfg.price_levels))), 1.0)
+        max_wage = max(float(np.max(np.asarray(ecfg.wage_levels))), 1.0)
+        gscale = np.ones((G,), np.float32)
+        gscale[:F] = max_price
+        gscale[F:2 * F] = max_wage
+        gscale[-1] = float(ecfg.episode_length)
+        theta_scale = max(float(ecfg.consumer_theta), 1e-9)
+        self._obs_scales = {
+            "consumer": np.concatenate([gscale, [1.0, theta_scale]]),
+            "firm": np.concatenate(
+                [gscale, [1.0, 10000.0, 1.0], np.ones((F,), np.float32)]
+            ),
+            "government": gscale,
+        }
+        stock_dims = tuple(range(2 * F, 3 * F))
+        self._digit_dims = {
+            "consumer": stock_dims + (G,),  # + own budget
+            "firm": stock_dims + (G,),
+            "government": stock_dims,
+        }
+
+    def _norm_obs(self, klass, x):
+        return _digit_expand(
+            x / jnp.asarray(self._obs_scales[klass]), self._digit_dims[klass]
+        )
+
     def init(self, key):
         k1, k2, k3, k4 = jax.random.split(key, 4)
         state, obs = self.env.reset(k4)
         params = {}
         for k, kk in zip(("consumer", "firm", "government"), (k1, k2, k3)):
             o = obs[k] if obs[k].ndim == 2 else obs[k][None]
-            params[k] = self.policies[k].init(kk, _norm_obs(o))
+            params[k] = self.policies[k].init(kk, self._norm_obs(k, o))
         opt = {k: self.tx.init(params[k]) for k in params}
         return params, opt
 
@@ -115,7 +160,7 @@ class RBCTrainer:
             ka, kf, kg = jax.random.split(key, 3)
             out = {}
             for k, kk in (("consumer", ka), ("firm", kf), ("government", kg)):
-                o = _norm_obs(obs[k])
+                o = self._norm_obs(k, obs[k])
                 logits, value = self.policies[k].apply(params[k], o)
                 acts, logp, ent = self._sample_heads(kk, logits)
                 out[k] = (acts, logp, value)
@@ -161,7 +206,7 @@ class RBCTrainer:
         adv = (adv - adv.mean()) / (adv.std() + 1e-8)
 
         def loss_fn(p):
-            obs = _norm_obs(traj["obs"])
+            obs = self._norm_obs(name, traj["obs"])
             logits, value = self.policies[name].apply(p, obs)
             logp, ent = self._heads_log_prob(logits, traj["act"])
             ratio = jnp.exp(logp - traj["logp"])

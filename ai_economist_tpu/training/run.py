@@ -154,7 +154,7 @@ def maybe_store_dense_log(trainer, ts: TrainerState, dense_dir: str, it: int):
             )
             act = {"a": jnp.argmax(logits_a, -1).astype(jnp.int32)}
             if trainer.has_planner_actions:
-                obs_p = {k: v[None] if k != "pa" else v[None] for k, v in obs["p"].items()}
+                obs_p = {k: v[None] for k, v in obs["p"].items()}  # add batch axis
                 logits_p, _, cp = trainer.model_p.apply(ts.params_p, obs_p, cp)
                 outs, off = [], 0
                 for dim in trainer.p_layout.action_dims:

@@ -287,6 +287,10 @@ class TwoLevelTrainer:
         n_mb = max(1, int(cfg.num_minibatches))
         batch_size = act.shape[1]
         n_mb = min(n_mb, batch_size)
+        # Largest divisor of batch_size <= the requested count: every sample
+        # lands in exactly one minibatch (no silent remainder drop).
+        while batch_size % n_mb:
+            n_mb -= 1
         mb_size = batch_size // n_mb
         if n_mb > 1:
             perm = jax.random.permutation(key, batch_size)

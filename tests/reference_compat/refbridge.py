@@ -64,6 +64,14 @@ def get_foundation():
         gputil.getAvailable = lambda *a, **k: []
         sys.modules["GPUtil"] = gputil
 
+    # The reference predates numpy 1.24: restore the removed scalar aliases
+    # it uses (np.int in layout_from_file.py:211-213, np.float/np.bool
+    # elsewhere). Test-process-only compat shim, like the lz4/Crypto stubs.
+    for alias, builtin in (("int", int), ("float", float), ("bool", bool),
+                           ("object", object)):
+        if not hasattr(np, alias):
+            setattr(np, alias, builtin)
+
     if "/root/reference" not in sys.path:
         sys.path.insert(0, "/root/reference")
     from ai_economist import foundation  # noqa: PLC0415
