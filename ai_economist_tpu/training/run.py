@@ -204,13 +204,20 @@ def main(run_dir: str):
     dense_every = int(general.get("dense_log_every", 0))
     saez_sync = bool(general.get("sync_saez_buffer", True))
 
+    history_path = os.path.join(os.path.abspath(run_dir), "history.jsonl")
     for it in range(start, num_iters):
         ts, metrics = trainer.train_iteration(ts, ent_a(it), ent_p(it))
         if saez_sync:
             ts = maybe_sync_saez_buffer(trainer, ts)
         if it % max(1, int(general.get("log_every", 10))) == 0:
             m = {k: float(v) for k, v in metrics.items()}
-            print(f"iter {it}: " + " ".join(f"{k}={v:.4g}" for k, v in sorted(m.items())))
+            print(f"iter {it}: " + " ".join(f"{k}={v:.4g}" for k, v in sorted(m.items())),
+                  flush=True)
+            # Learning-curve record (the TensorBoard-result analog,
+            # training_script.py:296-327's result dicts).
+            import json as _json
+            with open(history_path, "a") as f:
+                f.write(_json.dumps({"iteration": it, **m}) + "\n")
         if dense_every and it and it % dense_every == 0:
             maybe_store_dense_log(trainer, ts, dense_dir, it)
         if it and it % save_every == 0:
