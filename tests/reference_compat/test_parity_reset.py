@@ -218,3 +218,64 @@ def test_uniform_reset_statistical_parity():
             assert 0.7 < ratio < 1.4, (
                 f"{k}: std ratio {ratio:.2f} (ref {r.std():.3f}, tpu {t.std():.3f})"
             )
+
+
+def test_quadrant_water_cross_exact_parity():
+    """The Quadrant scenario's water cross is deterministic given world size
+    (dynamic_layout.py:941-993): both engines must lay the identical Water
+    map, with the same passage openings."""
+    ref_env, tpu_env = _pair("quadrant/simple_wood_and_stone")
+    np.random.seed(13)
+    ref_env.reset()
+    state, _ = jax.jit(tpu_env.reset_fresh)(jax.random.PRNGKey(13))
+    np.testing.assert_array_equal(
+        _map(state, "Water", tpu=True), _map(ref_env, "Water"),
+        err_msg="Quadrant water cross diverged",
+    )
+
+
+@pytest.mark.slow
+def test_quadrant_multizone_reset_statistical_parity():
+    """Source placement statistics for the Quadrant (wood-left / stone-top
+    gradients, dynamic_layout.py:994-1021) and MultiZone (kron-expanded zone
+    partitions, :705-872) resets."""
+    N = 100
+    for scenario in ("quadrant/simple_wood_and_stone",
+                     "multi_zone/simple_wood_and_stone"):
+        ref_env, tpu_env = _pair(scenario)
+        ref = {"wood_src": [], "stone_src": [], "wood_col": [], "stone_row": []}
+        np.random.seed(17)
+        H, Wd = COMMON["world_size"]
+        cols = np.arange(Wd)[None, :]
+        rows = np.arange(H)[:, None]
+        for _ in range(N):
+            ref_env.reset()
+            ws = _map(ref_env, "WoodSourceBlock")
+            ss = _map(ref_env, "StoneSourceBlock")
+            ref["wood_src"].append(ws.sum())
+            ref["stone_src"].append(ss.sum())
+            # Centroid along the gradient axes: wood left, stone top.
+            ref["wood_col"].append((ws * cols).sum() / max(ws.sum(), 1))
+            ref["stone_row"].append((ss * rows).sum() / max(ss.sum(), 1))
+
+        states, _ = jax.jit(jax.vmap(tpu_env.reset_fresh))(
+            jax.random.split(jax.random.PRNGKey(17), N)
+        )
+        ws = np.asarray(states.maps["WoodSourceBlock"])
+        ss = np.asarray(states.maps["StoneSourceBlock"])
+        tpu = {
+            "wood_src": ws.sum((1, 2)),
+            "stone_src": ss.sum((1, 2)),
+            "wood_col": (ws * cols[None]).sum((1, 2))
+                        / np.maximum(ws.sum((1, 2)), 1),
+            "stone_row": (ss * rows[None]).sum((1, 2))
+                         / np.maximum(ss.sum((1, 2)), 1),
+        }
+        for k in ref:
+            r = np.asarray(ref[k], np.float64)
+            t = np.asarray(tpu[k], np.float64)
+            se = np.sqrt(r.var() / r.size + t.var() / t.size)
+            assert abs(r.mean() - t.mean()) < 4.0 * se + 1e-6, (
+                f"{scenario} {k}: ref {r.mean():.3f} vs tpu {t.mean():.3f} "
+                f"(se {se:.3f})"
+            )
