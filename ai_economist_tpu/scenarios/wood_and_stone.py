@@ -428,15 +428,21 @@ class Uniform(Scenario):
 
             win = jnp.arange(2 * w + 1)
             sel_r = jax.nn.one_hot(
-                state.loc[:, 0:1] + win[None, :], H + 2 * w
+                state.loc[:, 0:1] + win[None, :], H + 2 * w, dtype=jnp.int8
             )  # [N, 2w+1, Hp]
             sel_c = jax.nn.one_hot(
-                state.loc[:, 1:2] + win[None, :], Wd + 2 * w
+                state.loc[:, 1:2] + win[None, :], Wd + 2 * w, dtype=jnp.int8
             )  # [N, 2w+1, Wp]
 
             def windows(padded):
-                rows = jnp.einsum("nkh,chw->nckw", sel_r, padded)
-                return jnp.einsum("nckw,nlw->nckl", rows, sel_c)
+                rows = jnp.einsum(
+                    "nkh,chw->nckw", sel_r, padded.astype(jnp.int8),
+                    preferred_element_type=jnp.int32,
+                )
+                return jnp.einsum(
+                    "nckw,nlw->nckl", rows.astype(jnp.int8), sel_c,
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32)
 
             vis_map = windows(padded_map)
             vis_idx = windows(padded_idx)
