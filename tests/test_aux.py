@@ -172,3 +172,26 @@ def test_plotting_breakdown_and_vis():
     assert ax is not None
     import matplotlib.pyplot as plt
     plt.close("all")
+
+
+def test_uniform_permutation_small_and_large():
+    """ops.uniform_permutation: validity + approximate uniformity on both
+    code paths — the exact n! table (n <= 6) and the sort-free 64-bit
+    counting-rank path (n > 6, the 10-agent-config path)."""
+    from ai_economist_tpu.ops import uniform_permutation
+
+    for n in (4, 8, 10):
+        f = jax.jit(lambda k, n=n: uniform_permutation(k, n))
+        perms = np.stack([
+            np.asarray(f(jax.random.PRNGKey(i))) for i in range(600)
+        ])
+        # Every draw is a permutation of range(n).
+        assert perms.shape == (600, n)
+        sorted_rows = np.sort(perms, axis=1)
+        np.testing.assert_array_equal(sorted_rows, np.tile(np.arange(n), (600, 1)))
+        # Positional uniformity: each value's mean position ~ (n-1)/2.
+        mean_pos = np.array([
+            np.argmax(perms == v, axis=1).mean() for v in range(n)
+        ])
+        se = np.sqrt((n * n - 1) / 12.0 / perms.shape[0])
+        assert np.all(np.abs(mean_pos - (n - 1) / 2) < 5 * se), mean_pos
