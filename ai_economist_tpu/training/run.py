@@ -112,7 +112,15 @@ def set_up_dirs_and_maybe_restore(run_dir: str, cfg, trainer, init_key):
         warm = cfg.get("general", {}).get("restore_agent_params_from")
         if warm:
             src = warm if os.path.isabs(warm) else os.path.join(run_dir, warm)
-            ts = ts.replace(params_a=load_params(src, ts.params_a))
+            if src.endswith(".msgpack"):
+                # tools/launch_distributed.py chief-save format.
+                from flax import serialization
+
+                with open(src, "rb") as f:
+                    restored = serialization.from_bytes(ts.params_a, f.read())
+            else:
+                restored = load_params(src, ts.params_a)
+            ts = ts.replace(params_a=restored)
     return mgr, dense_dir, ts, start_iter
 
 

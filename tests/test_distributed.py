@@ -120,3 +120,62 @@ def test_multiprocess_agrees_with_single_process(tmp_path):
         np.testing.assert_allclose(
             results[0]["final_metrics"][k], v, rtol=1e-4, atol=1e-6, err_msg=k
         )
+
+
+@pytest.mark.slow
+def test_launch_distributed_end_to_end(tmp_path):
+    """tools/launch_distributed.py: 2 processes x 2 devices run the YAML
+    training config as one SPMD program, the chief logs history and saves
+    replicated params, and both workers exit cleanly."""
+    import yaml
+
+    cfg = {
+        "env": {
+            "scenario_name": "uniform/simple_wood_and_stone",
+            "n_agents": 2, "world_size": [8, 8], "episode_length": 6,
+            "components": [
+                {"Build": {}}, {"Gather": {}},
+                {"PeriodicBracketTax": {"period": 4}},
+            ],
+        },
+        "models": {"agents": "mlp", "planner": "mlp",
+                   "agents_kwargs": {"hidden": 16}},
+        "trainer": {"num_envs": 8, "rollout_len": 3, "epochs": 1,
+                    "num_minibatches": 1, "train_planner": True},
+        "general": {"seed": 0, "num_iterations": 3, "log_every": 1,
+                    "save_every": 2},
+    }
+    run_dir = tmp_path / "run"
+    run_dir.mkdir()
+    (run_dir / "config.yaml").write_text(yaml.safe_dump(cfg, sort_keys=False))
+
+    p = subprocess.run(
+        [sys.executable, os.path.join(_REPO, "tools", "launch_distributed.py"),
+         str(run_dir), "--nproc", "2", "--devices-per-proc", "2"],
+        capture_output=True, timeout=500, cwd=_REPO,
+    )
+    assert p.returncode == 0, p.stderr.decode()[-3000:]
+    hist = (run_dir / "history.jsonl").read_text().strip().splitlines()
+    assert len(hist) == 3
+    rec = json.loads(hist[-1])
+    assert np.isfinite(rec["reward_a_mean"])
+    assert (run_dir / "agent_params_iter3.msgpack").exists()
+    # The saved params warm-start a single-process run (format round-trip).
+    from flax import serialization
+
+    import ai_economist_tpu as aet
+    from ai_economist_tpu.training.ppo import PPOConfig
+    from ai_economist_tpu.training.trainer import TwoLevelTrainer
+
+    env = aet.make_env_instance(
+        "uniform/simple_wood_and_stone",
+        components=[("Build", {}), ("Gather", {}),
+                    ("PeriodicBracketTax", {"period": 4})],
+        n_agents=2, world_size=[8, 8], episode_length=6)
+    trainer = TwoLevelTrainer(env, num_envs=4,
+                              cfg=PPOConfig(rollout_len=3, epochs=1),
+                              model="mlp", model_kwargs=dict(hidden=16))
+    ts = trainer.init(jax.random.PRNGKey(0))
+    blob = (run_dir / "agent_params_iter3.msgpack").read_bytes()
+    restored = serialization.from_bytes(ts.params_a, blob)
+    assert jax.tree.structure(restored) == jax.tree.structure(ts.params_a)
