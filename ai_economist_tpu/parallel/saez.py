@@ -11,6 +11,15 @@ the reference syncs between training iterations
 Works on a plain batched state (leading env axis) regardless of device
 sharding — under `jit` with sharded inputs, XLA lowers the reshuffle to ICI
 collectives.
+
+Scaling note: the global buffer has capacity R * buffer_size, and because
+the per-env step is vmapped, the Saez formula's day-1 branch (histograms +
+OLS over the whole buffer, components/redistribution.py:_saez_rates) is
+traced into every step — under vmap a lax.cond degenerates to both-branch
+select, so the formula cost is paid each step, growing linearly with
+R * buffer_size. At the reference's own replica scale (30 envs, matching
+its 15 Ray workers x 2 envs) this is cheap; at 120+ replicas prefer a
+smaller `saez_buffer_size` or fewer `saez_global_replicas`.
 """
 
 from __future__ import annotations

@@ -136,7 +136,9 @@ def maybe_sync_saez_buffer(trainer, ts: TrainerState) -> TrainerState:
         return ts
     from ai_economist_tpu.parallel.saez import sync_saez_buffers
 
-    return ts.replace(env_states=sync_saez_buffers(ts.env_states))
+    # jit: eagerly this is ~10 separate device dispatches per iteration
+    # (argsorts + takes over the [R, R*S, 2] buffers).
+    return ts.replace(env_states=jax.jit(sync_saez_buffers)(ts.env_states))
 
 
 def maybe_store_dense_log(trainer, ts: TrainerState, dense_dir: str, it: int):
