@@ -215,6 +215,18 @@ def main(run_dir: str):
     saez_sync = bool(general.get("sync_saez_buffer", True))
 
     history_path = os.path.join(os.path.abspath(run_dir), "history.jsonl")
+    # One record per iteration even across restarts: truncate on a fresh
+    # start, and on resume drop any records at/after the resume point
+    # (they will be re-emitted by the loop below).
+    if start == 0:
+        open(history_path, "w").close()
+    elif os.path.exists(history_path):
+        import json as _json
+        with open(history_path) as f:
+            kept = [ln for ln in f
+                    if ln.strip() and _json.loads(ln).get("iteration", -1) < start]
+        with open(history_path, "w") as f:
+            f.writelines(kept)
     for it in range(start, num_iters):
         ts, metrics = trainer.train_iteration(ts, ent_a(it), ent_p(it))
         if saez_sync:

@@ -286,11 +286,15 @@ class TwoLevelTrainer:
 
         n_mb = max(1, int(cfg.num_minibatches))
         batch_size = act.shape[1]
-        n_mb = min(n_mb, batch_size)
-        # Largest divisor of batch_size <= the requested count: every sample
-        # lands in exactly one minibatch (no silent remainder drop).
-        while batch_size % n_mb:
-            n_mb -= 1
+        # The minibatch count must divide the batch: silently adjusting it
+        # would train with a different SGD configuration than the user asked
+        # for (sgd_minibatch_size semantics, tutorials/rllib/phase1/config.yaml).
+        if batch_size % n_mb:
+            raise ValueError(
+                f"num_minibatches={n_mb} does not divide the env batch "
+                f"({batch_size}); pick a divisor so every sample lands in "
+                f"exactly one minibatch"
+            )
         mb_size = batch_size // n_mb
         if n_mb > 1:
             perm = jax.random.permutation(key, batch_size)

@@ -56,6 +56,21 @@ def test_gae_simple():
     np.testing.assert_allclose(np.asarray(ret[0]), 2.0)
 
 
+def test_non_divisor_minibatch_count_raises():
+    """A num_minibatches that doesn't divide the batch must fail loudly —
+    silently training with a different minibatch count than configured is a
+    config trap (sgd_minibatch_size semantics, rllib/phase1/config.yaml)."""
+    env = small_env()
+    trainer = TwoLevelTrainer(
+        env, num_envs=4,
+        cfg=PPOConfig(rollout_len=2, epochs=1, num_minibatches=3),
+        model_kwargs=dict(fc_dim=16, cell_size=16, emb_dim=2),
+    )
+    ts = trainer.init(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="num_minibatches"):
+        trainer.train_iteration(ts, 0.025, 0.1)
+
+
 @pytest.mark.slow
 def test_train_iteration_runs():
     env = small_env()

@@ -77,7 +77,12 @@ def worker(run_dir: str):
     num_iters = int(general.get("num_iterations", 100))
     log_every = max(1, int(general.get("log_every", 10)))
     save_every = int(general.get("save_every", 0))
+    saez_sync = bool(general.get("sync_saez_buffer", True))
     history = os.path.join(os.path.abspath(run_dir), "history.jsonl")
+    if is_chief:
+        # Fresh run (no resume path here): truncate any stale history so a
+        # relaunched job doesn't append duplicate iteration records.
+        open(history, "w").close()
 
     def save(it):
         # Params are replicated (host-identical), so the chief saves them
@@ -92,6 +97,12 @@ def worker(run_dir: str):
 
     for it in range(num_iters):
         ts, metrics = trainer.train_iteration(ts, ent_a(it), ent_p(it))
+        if saez_sync:
+            # Same global-buffer semantics as the single-process runner
+            # (run.py): under jit with sharded states the all-gather lowers
+            # to cross-host collectives, matching the reference's shared
+            # Ray buffer (tutorials/rllib/utils/remote.py:56-73).
+            ts = R.maybe_sync_saez_buffer(trainer, ts)
         if it % log_every == 0:
             m = {k: float(v) for k, v in dist.fetch(metrics).items()}
             if is_chief:
