@@ -28,6 +28,7 @@ import numpy as np
 from ai_economist_tpu.core import world as W
 from ai_economist_tpu.core.scenario import Scenario, scenario_registry
 from ai_economist_tpu.core.state import EnvState
+from ai_economist_tpu.ops import windows
 from ai_economist_tpu.scenarios.utils import rewards, social_metrics
 
 
@@ -79,6 +80,22 @@ class Uniform(Scenario):
         self._planner_gets_spatial_info = bool(planner_gets_spatial_info)
         self._full_observability = bool(full_observability)
         self._obs_range = int(mobile_agent_observation_range)
+        # Egocentric-window extractor: per-env dynamic slices single-env,
+        # the envs-on-lanes Pallas kernel under vmap (ops/windows.py).
+        # byte_ok: the kernel byte-packs 4 channels per int32 lane, which
+        # requires every map value to fit [0, 127] — healths are integers
+        # capped at max_health (regen adds whole units), idx channels are
+        # +2-encoded agent indices, the pad channel is 1. Configs outside
+        # that range get the unpacked (any-value) kernel instead of the
+        # silent wrap ADVICE r3 flagged.
+        byte_ok = (
+            max(int(wood_max_health), int(stone_max_health), 1) <= 127
+            and spec.n_agents + 2 <= 127
+        )
+        self._windows_op = windows.make_windows_op(
+            spec.n_agents, self._obs_range, spec.height, spec.width,
+            byte_ok=byte_ok,
+        )
 
         H, Wd = spec.height, spec.width
         if starting_wood_coverage >= 1:
@@ -406,46 +423,22 @@ class Uniform(Scenario):
             # Pad with an extra all-ones channel marking in-bounds area
             # (dynamic_layout.py:541-546).
             ones_ch = jnp.ones((1, H, Wd), jnp.float32)
-            # Egocentric windows via one-hot row/col selection matmuls
-            # instead of per-agent dynamic_slice (a batched gather costing
-            # ~1-2 ms/op at 4096-env batch; see ai_economist_tpu/ops).
-            # NOTE (perf, measured on v5e at 4096 envs): this einsum pair is
-            # the top phase of the whole step (~6.4 ms net) and is
-            # OCCUPANCY-bound, not bandwidth- or flops-bound — 4096 tiny
-            # [44x35]x[35x315] matmuls with (8,128)-tiled intermediates.
-            # Measured alternatives that do NOT help: bf16/int8 operands,
-            # merged/cols-first/lane-batch einsum orders, flat or fused
-            # output layouts, XLA gathers (10-90 ms), and three Pallas
-            # kernels (per-env dot, batched-block dot, lane-roll: 8-19 ms —
-            # Mosaic cannot fuse the (K, K) minor pair into a packed lane
-            # dim, so every variant pays the same padded-tile writes).
-            # See PROFILE_r03.json notes.
-            padded_map = jnp.pad(
-                jnp.concatenate([curr_map, ones_ch], axis=0),
+            # Egocentric windows through the envs-on-lanes op
+            # (ops/windows.py): single-env this is N dynamic slices; under
+            # the training vmap it lowers to a Pallas kernel with the env
+            # batch on the lane dimension, replacing round 3's one-hot
+            # einsum pair (4096 tiny [44x35]x[35x315] matmuls,
+            # occupancy-bound at ~6.4 ms/step — PROFILE_r03.json). Map and
+            # idx channels share one stacked extraction so the map block is
+            # read once per step.
+            nc = curr_map.shape[0] + 1  # map channels + ones channel
+            padded = jnp.pad(
+                jnp.concatenate([curr_map, ones_ch, idx_maps], axis=0),
                 ((0, 0), (w, w), (w, w)),
             )
-            padded_idx = jnp.pad(idx_maps, ((0, 0), (w, w), (w, w)))
-
-            win = jnp.arange(2 * w + 1)
-            sel_r = jax.nn.one_hot(
-                state.loc[:, 0:1] + win[None, :], H + 2 * w, dtype=jnp.int8
-            )  # [N, 2w+1, Hp]
-            sel_c = jax.nn.one_hot(
-                state.loc[:, 1:2] + win[None, :], Wd + 2 * w, dtype=jnp.int8
-            )  # [N, 2w+1, Wp]
-
-            def windows(padded):
-                rows = jnp.einsum(
-                    "nkh,chw->nckw", sel_r, padded.astype(jnp.int8),
-                    preferred_element_type=jnp.int32,
-                )
-                return jnp.einsum(
-                    "nckw,nlw->nckl", rows.astype(jnp.int8), sel_c,
-                    preferred_element_type=jnp.int32,
-                ).astype(jnp.float32)
-
-            vis_map = windows(padded_map)
-            vis_idx = windows(padded_idx)
+            vis = self._windows_op(padded, state.loc)  # [N, M, K, K]
+            vis_map = vis[:, :nc]
+            vis_idx = vis[:, nc:]
             me = agent_ids[:, None, None, None] + 2
             vis_idx = jnp.where(vis_idx == me, 1.0, vis_idx)
             a_obs["map"] = vis_map
