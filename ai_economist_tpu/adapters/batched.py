@@ -57,6 +57,10 @@ def auto_reset_step(
     Returns (states, obs, rew, done, info); obs for done replicas describes
     the post-reset state so the policy's next action is valid.
     """
+    # Hoisted saez day-1 rates refresh (identity for non-saez envs): a real
+    # scalar branch at batch level, where in-step it would be a both-branch
+    # select under vmap paid every step (core/env.py maybe_saez_refresh).
+    states = env.maybe_saez_refresh(states)
     step = jax.vmap(env.step)
     nstates, obs, rew, done, info = step(states, actions)
     if reset_mode == "none":

@@ -83,10 +83,20 @@ class PeriodicBracketTax(Component):
         tax_annealing_schedule=None,
         saez_buffer_size=500,
         saez_global_replicas=0,
+        saez_rates_external=False,
     ):
         super().__init__(spec, episode_length, inventory_scale)
         self.disable_taxes = bool(disable_taxes)
         self.tax_model = tax_model
+        # External-rates mode: the per-step saez day-1 update is skipped and
+        # the batch runner applies `batch_rates_refresh` between steps under
+        # a scalar lax.cond instead (core/env.py maybe_saez_refresh). Under
+        # vmap a lax.cond degenerates to a both-branch select, so the in-step
+        # formula (histograms + OLS over the whole R*S global buffer) would
+        # be paid EVERY step in EVERY replica; hoisted to batch level it runs
+        # once per tax period, like the reference's once-per-period call
+        # (redistribution.py:952-961).
+        self.rates_external = bool(saez_rates_external)
         assert self.tax_model in (
             "model_wrapper",
             "us-federal-single-filer-2018-scaled",
@@ -481,6 +491,35 @@ class PeriodicBracketTax(Component):
             reached_min_samples=reached,
         )
 
+    def batch_rates_refresh(self, states: EnvState) -> EnvState:
+        """Day-1 saez rates update at BATCH level (leading env axis).
+
+        The external-rates counterpart of the in-step update: applied by the
+        batch runners between env steps, under a scalar lax.cond that only
+        fires when some replica is entering a new tax period
+        (core/env.py maybe_saez_refresh), so the formula cost is paid once
+        per period instead of every step. Semantically identical to the
+        in-step update: at entry the batched state already carries the
+        post-step timestep/completions the in-step formula would see, and
+        rates only change where tax_cycle_pos == 1. Warmup random rates draw
+        from a stream folded off the per-env state key (disjoint from the
+        step stream), so warmup draws differ bit-wise from internal mode but
+        share the distribution — the formula regime is bit-identical
+        (test_tax.py::test_saez_external_rates_matches_internal)."""
+
+        def one(state, key):
+            cs = dict(state.comp[self.name])
+            upd = self._saez_rates(state, cs, key)
+            cyc = cs["tax_cycle_pos"]
+            for k, v in upd.items():
+                cs[k] = jnp.where(cyc == 1, v, cs[k])
+            comp = dict(state.comp)
+            comp[self.name] = cs
+            return state.replace(comp=comp)
+
+        keys = jax.vmap(lambda k: jax.random.fold_in(k, 0x5AE2))(states.key)
+        return jax.vmap(one)(states, keys)
+
     # ------------------------------------------------------------------
     # step
     # ------------------------------------------------------------------
@@ -500,7 +539,7 @@ class PeriodicBracketTax(Component):
             cs["curr_rate_indices"] = jnp.where(
                 cycle == 1, new_idx, cs["curr_rate_indices"]
             )
-        elif self.tax_model == "saez":
+        elif self.tax_model == "saez" and not self.rates_external:
             saez_updates = self._saez_rates(state, cs, key, draws=draws)
             for k, v in saez_updates.items():
                 cs[k] = jnp.where(cycle == 1, v, cs[k])

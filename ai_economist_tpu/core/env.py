@@ -130,6 +130,14 @@ class TpuEnv:
         # --- scenario ---
         self.scenario = scenario_cls(self.world, self.components, self, **scenario_kwargs)
 
+        # Saez external-rates component, if any (see maybe_saez_refresh).
+        self._saez_external_comp = next(
+            (c for c in self.components
+             if getattr(c, "tax_model", None) == "saez"
+             and getattr(c, "rates_external", False)),
+            None,
+        )
+
     # ------------------------------------------------------------------
     # properties
     # ------------------------------------------------------------------
@@ -279,6 +287,32 @@ class TpuEnv:
             completions=state.completions + done.astype(jnp.int32)
         )
         return state, obs, rew, done, {}
+
+    # ------------------------------------------------------------------
+    # batch-level hooks
+    # ------------------------------------------------------------------
+    def maybe_saez_refresh(self, states: EnvState) -> EnvState:
+        """Apply the hoisted day-1 saez rates update to a BATCHED state.
+
+        Identity unless a PeriodicBracketTax component was built with
+        saez_rates_external=True. The batch runners (adapters/batched.py
+        auto_reset_step) call this before the vmapped step; the scalar
+        lax.cond is a real branch here — outside any vmap — so the saez
+        formula (histograms + OLS over the R*S global buffer) runs only on
+        steps where some replica enters a new tax period, not every step.
+        In lockstep training the period boundary is env-invariant, matching
+        the reference's once-per-period rate set (redistribution.py:952-961
+        + tutorials/rllib/utils/remote.py:56-73)."""
+        comp = self._saez_external_comp
+        if comp is None:
+            return states
+        cycle = states.comp[comp.name]["tax_cycle_pos"]
+        return jax.lax.cond(
+            (cycle == 1).any(),
+            comp.batch_rates_refresh,
+            lambda s: s,
+            states,
+        )
 
     # ------------------------------------------------------------------
     # observations / masks

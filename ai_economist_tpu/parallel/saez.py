@@ -12,14 +12,14 @@ Works on a plain batched state (leading env axis) regardless of device
 sharding — under `jit` with sharded inputs, XLA lowers the reshuffle to ICI
 collectives.
 
-Scaling note: the global buffer has capacity R * buffer_size, and because
-the per-env step is vmapped, the Saez formula's day-1 branch (histograms +
-OLS over the whole buffer, components/redistribution.py:_saez_rates) is
-traced into every step — under vmap a lax.cond degenerates to both-branch
-select, so the formula cost is paid each step, growing linearly with
-R * buffer_size. At the reference's own replica scale (30 envs, matching
-its 15 Ray workers x 2 envs) this is cheap; at 120+ replicas prefer a
-smaller `saez_buffer_size` or fewer `saez_global_replicas`.
+Scaling note: the global buffer has capacity R * buffer_size, so the day-1
+Saez formula (histograms + OLS over the whole buffer) grows with the
+replica count. Training envs are therefore built with
+saez_rates_external=True (training/run.py): the formula is hoisted out of
+the vmapped step to a batch-level scalar lax.cond that fires once per tax
+period (core/env.py maybe_saez_refresh), exactly like the reference's
+once-per-period rate set — replica count no longer multiplies per-step
+cost.
 """
 
 from __future__ import annotations

@@ -59,9 +59,14 @@ def build_trainer(cfg: Dict[str, Any]) -> TwoLevelTrainer:
         else:
             name, kw = spec
         kw = dict(kw)
-        if (name == "PeriodicBracketTax" and kw.get("tax_model") == "saez"
-                and "saez_global_replicas" not in kw):
-            kw["saez_global_replicas"] = num_envs
+        if name == "PeriodicBracketTax" and kw.get("tax_model") == "saez":
+            if "saez_global_replicas" not in kw:
+                kw["saez_global_replicas"] = num_envs
+            # Hoist the day-1 formula out of the vmapped step (a both-branch
+            # select there, paid every step x every replica): training always
+            # steps through auto_reset_step, which applies the batch-level
+            # refresh (core/env.py maybe_saez_refresh).
+            kw.setdefault("saez_rates_external", True)
         comps.append((name, kw))
     env_section["components"] = comps
     cfg["env"] = env_section

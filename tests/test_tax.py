@@ -144,6 +144,99 @@ def test_saez_warmup_random_then_formula():
     assert np.isfinite(float(cs["elas_t"]))
 
 
+def _batched_saez_env(external, num_envs=3, **kw):
+    env = aet.make_env_instance(
+        "uniform/simple_wood_and_stone",
+        components=[
+            ("Build", {}),
+            ("Gather", {}),
+            ("PeriodicBracketTax", dict(
+                tax_model="saez", period=4, saez_buffer_size=16,
+                saez_rates_external=external, **kw)),
+        ],
+        n_agents=4,
+        world_size=[15, 15],
+        episode_length=40,
+    )
+    return env
+
+
+def test_saez_external_rates_matches_internal():
+    """With the buffer warm (formula regime — deterministic, no key use),
+    the hoisted batch-level rates refresh must produce bit-identical
+    trajectories to the in-step day-1 update."""
+    from ai_economist_tpu.adapters.batched import auto_reset_step
+
+    E = 3
+    trajs = {}
+    for external in (False, True):
+        env = _batched_saez_env(external)
+        keys = jax.random.split(jax.random.PRNGKey(11), E)
+        states, obs = jax.jit(jax.vmap(env.reset_fresh))(keys)
+        # Warm the buffer: mark min-samples reached and fill deterministic
+        # incomes so day-1 updates take the formula branch in both modes.
+        cs = dict(states.comp["PeriodicBracketTax"])
+        S = cs["buf"].shape[1]
+        incomes = 5.0 + jnp.arange(E * S, dtype=jnp.float32).reshape(E, S) % 37
+        cs["buf"] = jnp.stack(
+            [incomes, jnp.full((E, S), 0.3)], axis=-1)
+        cs["buf_count"] = jnp.full((E,), S, jnp.int32)
+        cs["reached_min_samples"] = jnp.ones((E,), bool)
+        comp_states = dict(states.comp)
+        comp_states["PeriodicBracketTax"] = cs
+        states = states.replace(comp=comp_states)
+
+        step = jax.jit(lambda s, a: auto_reset_step(env, s, a, None, "none"))
+        coin_i = env.world.res_idx("Coin")
+        seen = []
+        for t in range(9):
+            states = states.replace(
+                inventory=states.inventory.at[:, :, coin_i].add(
+                    jnp.asarray([5.0, 10.0, 20.0, 40.0])[None]
+                )
+            )
+            acts = {"a": jnp.zeros((E, 4), jnp.int32)}
+            states, obs, rew, done, _ = step(states, acts)
+            cs_t = states.comp["PeriodicBracketTax"]
+            seen.append((
+                np.asarray(cs_t["curr_bracket_tax_rates"]).copy(),
+                np.asarray(cs_t["elas_t"]).copy(),
+                np.asarray(states.inventory).copy(),
+            ))
+        trajs[external] = seen
+
+    for t, (a, b) in enumerate(zip(trajs[False], trajs[True])):
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y, err_msg=f"step {t}")
+    # Sanity: the formula actually ran (rates not all at init zeros forever)
+    assert any(np.abs(s[0]).max() > 0 for s in trajs[True])
+
+
+def test_saez_external_rates_warmup_gating():
+    """External mode during buffer warmup: rates stay within bounds and only
+    change on period boundaries (cycle == 1)."""
+    from ai_economist_tpu.adapters.batched import auto_reset_step
+
+    E = 2
+    env = _batched_saez_env(True)
+    comp = env.get_component("PeriodicBracketTax")
+    keys = jax.random.split(jax.random.PRNGKey(5), E)
+    states, obs = jax.jit(jax.vmap(env.reset_fresh))(keys)
+    step = jax.jit(lambda s, a: auto_reset_step(env, s, a, None, "none"))
+    prev = np.asarray(states.comp["PeriodicBracketTax"]["curr_bracket_tax_rates"])
+    for t in range(9):
+        cycle_before = np.asarray(states.comp["PeriodicBracketTax"]["tax_cycle_pos"])
+        states, *_ = step(states, {"a": jnp.zeros((E, 4), jnp.int32)})
+        cur = np.asarray(states.comp["PeriodicBracketTax"]["curr_bracket_tax_rates"])
+        if (cycle_before != 1).all():
+            np.testing.assert_array_equal(cur, prev, err_msg=f"step {t}")
+        assert (cur >= comp.rate_min - 1e-7).all()
+        assert (cur <= comp.rate_max + 1e-7).all()
+        prev = cur
+    # Across 9 steps with period=4 the warmup redraw must have fired
+    assert np.abs(prev).max() > 0
+
+
 def test_wealth_redistribution_equalizes():
     env = aet.make_env_instance(
         "uniform/simple_wood_and_stone",
