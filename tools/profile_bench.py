@@ -53,6 +53,41 @@ def timeit(fn, *args, n=20, warmup=3):
     return (time.perf_counter() - t0) / n
 
 
+# v5e per-chip peaks (public spec: 197 bf16 TFLOP/s, 819 GB/s HBM BW).
+V5E_HBM_GBPS = 819.0
+V5E_BF16_TFLOPS = 197.0
+
+
+def cost_analysis(fn, *args):
+    """XLA-reported (flops, bytes accessed) for the compiled fn.
+
+    Caveats, reflected in the roofline fields: XLA counts LOGICAL bytes
+    (reuse not deduplicated, padding not included) and does not model
+    custom calls (the Pallas windows kernel reports ~0 here — its traffic
+    is accounted separately in `pallas_windows_bytes_note`)."""
+    try:
+        compiled = jax.jit(fn).lower(*args).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
+    except Exception:
+        return None, None
+
+
+def roofline(results, key, fn, *args):
+    """Attach bytes/flops + implied fraction-of-peak for phase `key`
+    (which must already hold the measured `<key>_ms`)."""
+    flops, byts = cost_analysis(fn, *args)
+    if flops is None:
+        return
+    dt_s = results[f"{key}_ms"] / 1e3
+    results[f"{key}_gbytes"] = byts / 1e9
+    results[f"{key}_gflops"] = flops / 1e9
+    results[f"{key}_hbm_frac"] = (byts / dt_s / 1e9) / V5E_HBM_GBPS
+    results[f"{key}_mxu_frac"] = (flops / dt_s / 1e12) / V5E_BF16_TFLOPS
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=20)
@@ -101,6 +136,7 @@ def main():
     dt = timeit(jax.jit(full), states, acts, n=args.steps)
     results["full_step_ms"] = dt * 1e3
     results["env_steps_per_s"] = args.num_envs / dt
+    roofline(results, "full_step", full, states, acts)
 
     # Step without obs/rewards: component pipeline + scenario only.
     def decode(acts):
@@ -122,6 +158,7 @@ def main():
 
     dt_all = timeit(jax.jit(phase_components), states, acts, n=args.steps)
     results["all_components_ms"] = dt_all * 1e3
+    roofline(results, "all_components", phase_components, states, acts)
 
     # Per-component isolation.
     for comp in env.components:
@@ -135,6 +172,7 @@ def main():
             return jax.vmap(one)(states, acts)
         dt = timeit(jax.jit(phase_one), states, acts, n=args.steps)
         results[f"component_{comp.name}_ms"] = dt * 1e3
+        roofline(results, f"component_{comp.name}", phase_one, states, acts)
 
     # Scenario step.
     def phase_scen(states):
@@ -142,11 +180,25 @@ def main():
             return env.scenario.step(state, jax.random.fold_in(state.key, 2))
         return jax.vmap(one)(states)
     results["scenario_step_ms"] = timeit(jax.jit(phase_scen), states, n=args.steps) * 1e3
+    roofline(results, "scenario_step", phase_scen, states)
 
     # Observations (incl. masks + packaging).
     def phase_obs(states):
         return jax.vmap(env.observations)(states)
     results["observations_ms"] = timeit(jax.jit(phase_obs), states, n=args.steps) * 1e3
+    roofline(results, "observations", phase_obs, states)
+    # The Pallas windows kernel is a custom call XLA's cost model skips;
+    # its real HBM traffic at these shapes (packed int32 path): one read of
+    # the packed padded map block + the packed window writes + the unpacked
+    # f32 output materialization.
+    S = -(-14 // 4)
+    E = args.num_envs
+    kernel_bytes = (S * 42 * 42 * E * 4) + (N_AGENTS * S * 11 * 11 * E * 4) \
+        + (N_AGENTS * 14 * 11 * 11 * E * 4)
+    results["pallas_windows_bytes_note"] = (
+        f"observations includes a Pallas custom call (~{kernel_bytes/1e9:.3f}"
+        " GB true traffic at these shapes) that XLA's cost analysis omits"
+    )
 
     # Masks alone.
     def phase_masks(states):
@@ -159,6 +211,7 @@ def main():
             return env.scenario.reward(state)
         return jax.vmap(one)(states)
     results["rewards_ms"] = timeit(jax.jit(phase_rew), states, n=args.steps) * 1e3
+    roofline(results, "rewards", phase_rew, states)
 
     # Action sampling.
     results["action_sampling_ms"] = timeit(random_actions, key, obs, n=args.steps) * 1e3
