@@ -245,21 +245,40 @@ def extract_state(ref_env, tpu_env, key):
     return state
 
 
-def sample_masked_actions(ref_obs, n_agents, rng, planner_layout=None):
+def sample_masked_actions(ref_obs, n_agents, rng, planner_layout=None,
+                          agent_layout=None):
     """Uniform random VALID actions from the reference's flattened masks.
 
     Returns (ref_actions, tpu_actions): the dict the reference step consumes
     and the {"a", "p"} arrays the TPU step consumes, encoding-identical
-    (single-action agents, multi-action planner; base_agent.py:407-438).
+    (base_agent.py:407-438). Pass `agent_layout` with multi_action_mode set
+    for multi-action mobiles: each agent then submits one sub-action per
+    subspace (ref: a list; TPU: a [n_agents, n_subspaces] array), sampled
+    per-subspace from that subspace's mask slice (incl. its NO-OP bit).
     """
     ref_actions = {}
-    a_flat = np.zeros((n_agents,), np.int32)
+    agents_multi = agent_layout is not None and agent_layout.multi_action_mode
+    if agents_multi:
+        a_flat = np.zeros((n_agents, agent_layout.n_subspaces), np.int32)
+    else:
+        a_flat = np.zeros((n_agents,), np.int32)
     for i in range(n_agents):
         mask = np.asarray(ref_obs[str(i)]["action_mask"]).ravel()
-        valid = np.flatnonzero(mask > 0)
-        a = int(rng.choice(valid))
-        ref_actions[str(i)] = a
-        a_flat[i] = a
+        if agents_multi:
+            acts, off = [], 0
+            for d in agent_layout.action_dims:
+                sub = mask[off:off + d]
+                valid = np.flatnonzero(sub > 0)
+                acts.append(int(rng.choice(valid)))
+                off += d
+            assert off == mask.size
+            ref_actions[str(i)] = acts
+            a_flat[i] = acts
+        else:
+            valid = np.flatnonzero(mask > 0)
+            a = int(rng.choice(valid))
+            ref_actions[str(i)] = a
+            a_flat[i] = a
 
     tpu_actions = {"a": a_flat}
     if planner_layout is not None and planner_layout.n_subspaces > 0:
