@@ -299,20 +299,38 @@ class TwoLevelTrainer:
         if n_mb > 1:
             perm = jax.random.permutation(key, batch_size)
         else:
-            perm = jnp.arange(batch_size)
+            # No permutation with one minibatch — and crucially, no batch
+            # indexing AT ALL: under a sharded env axis, x[:, arange] is a
+            # gather from the sharded dim, which GSPMD emulates by
+            # all-reducing the ENTIRE rollout batch across hosts and then
+            # running the update replicated (caught by
+            # tools/collective_audit.py). Passing the arrays through keeps
+            # the batch sharded and the update data-parallel, with only
+            # param-gradient all-reduces crossing hosts.
+            perm = None
 
         aux = None
         for i in range(n_mb):
-            idx = perm[i * mb_size:(i + 1) * mb_size]
-            mb = {
-                "obs": jax.tree.map(lambda x: x[:, idx], obs_seq),
-                "act": act[:, idx],
-                "logp_old": logp_old[:, idx],
-                "adv": adv[:, idx],
-                "ret": ret[:, idx],
-                "carry": jax.tree.map(lambda c: c[idx], init_carry)
-                if init_carry is not None else None,
-            }
+            if perm is None:
+                mb = {
+                    "obs": obs_seq,
+                    "act": act,
+                    "logp_old": logp_old,
+                    "adv": adv,
+                    "ret": ret,
+                    "carry": init_carry,
+                }
+            else:
+                idx = perm[i * mb_size:(i + 1) * mb_size]
+                mb = {
+                    "obs": jax.tree.map(lambda x: x[:, idx], obs_seq),
+                    "act": act[:, idx],
+                    "logp_old": logp_old[:, idx],
+                    "adv": adv[:, idx],
+                    "ret": ret[:, idx],
+                    "carry": jax.tree.map(lambda c: c[idx], init_carry)
+                    if init_carry is not None else None,
+                }
             grads, aux = jax.grad(loss_fn, has_aux=True)(params, mb)
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
