@@ -157,3 +157,26 @@ def test_coin_conservation_no_build(env, reset_out):
         state, *_ = step(state, {"a": acts})
     total1 = float(state.inventory[:, env.world.res_idx("Coin")].sum())
     assert abs(total0 - total1) < 1e-5
+
+
+def test_batched_obs_equals_per_env_obs(env):
+    """The vmapped obs path (envs-on-lanes windows kernel on TPU, fallback
+    elsewhere) must produce exactly the per-env obs for every env in the
+    batch — guards the stacked-channel concat/split wiring around
+    ops/windows.py."""
+    E = 6
+    keys = jax.random.split(jax.random.PRNGKey(3), E)
+    states, _ = jax.jit(jax.vmap(env.reset_fresh))(keys)
+    batched = jax.jit(jax.vmap(env.observations))(states)
+    single = jax.jit(env.observations)
+    flat_b, treedef_b = jax.tree_util.tree_flatten_with_path(batched)
+    for e in range(E):
+        s_e = jax.tree.map(lambda x: x[e] if getattr(x, "ndim", 0) else x, states)
+        o_e = single(s_e)
+        flat_s, treedef_s = jax.tree_util.tree_flatten_with_path(o_e)
+        assert str(treedef_b) == str(treedef_s)
+        for (pb, vb), (_ps, vs) in zip(flat_b, flat_s):
+            vb_e = np.asarray(vb[e]) if np.ndim(vb) > np.ndim(vs) else np.asarray(vb)
+            np.testing.assert_array_equal(
+                vb_e, np.asarray(vs),
+                err_msg=f"env {e} obs {jax.tree_util.keystr(pb)}")

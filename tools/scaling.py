@@ -28,7 +28,7 @@ import time
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
 
-OUT = os.path.join(_REPO, "SCALING_r03.json")
+OUT = os.path.join(_REPO, "SCALING_r04.json")
 ENVS_PER_DEV = 64
 STEPS = 25
 TRAIN_ENVS_PER_DEV = 4
