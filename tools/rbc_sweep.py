@@ -40,8 +40,10 @@ from ai_economist_tpu.scenarios.rbc.trainer import RBCTrainConfig, RBCTrainer
 # its world_param_sweeps toggle env structure). Axes here: the training
 # batch (reference batch_size: [128]) and the importer — the env-structure
 # toggle its template exposes (constants.py importer config).
+# batch_size 1024 OOMs: episode-batch PPO stores the full [240, B, 111]
+# trajectory set, measured 51.5 GB at B=1024 vs 15.75 GB HBM. 256 fits.
 SWEEP = {
-    "batch_size": [128, 1024],
+    "batch_size": [128, 256],
     "use_importer": [True, False],
 }
 
