@@ -179,3 +179,32 @@ def test_launch_distributed_end_to_end(tmp_path):
     blob = (run_dir / "agent_params_iter3.msgpack").read_bytes()
     restored = serialization.from_bytes(ts.params_a, blob)
     assert jax.tree.structure(restored) == jax.tree.structure(ts.params_a)
+
+
+def test_windows_op_partitions_over_env_axis():
+    """The egocentric-windows op's custom_partitioning must shard over the
+    env axis under jit + NamedSharding and produce the same values as the
+    unsharded lowering (the GSPMD path parallel/distributed.py compiles)."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from ai_economist_tpu.ops.windows import make_windows_op
+
+    H = Wd = 11
+    w = 2
+    N, M, E = 3, 5, 16
+    op = make_windows_op(N, w, H, Wd, byte_ok=True)
+    rng = np.random.RandomState(9)
+    maps = jnp.asarray(
+        rng.randint(0, 5, size=(E, M, H + 2 * w, Wd + 2 * w)).astype(np.float32))
+    loc = jnp.asarray(rng.randint(0, [H, Wd], size=(E, N, 2)).astype(np.int32))
+
+    plain = jax.jit(jax.vmap(op))(maps, loc)
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("host", "env"))
+    sh = NamedSharding(mesh, P(("host", "env")))
+    maps_s = jax.device_put(maps, sh)
+    loc_s = jax.device_put(loc, sh)
+    sharded = jax.jit(jax.vmap(op), out_shardings=sh)(maps_s, loc_s)
+    assert len(sharded.sharding.device_set) == 8
+    np.testing.assert_array_equal(np.asarray(sharded), np.asarray(plain))
