@@ -208,3 +208,53 @@ def test_windows_op_partitions_over_env_axis():
     sharded = jax.jit(jax.vmap(op), out_shardings=sh)(maps_s, loc_s)
     assert len(sharded.sharding.device_set) == 8
     np.testing.assert_array_equal(np.asarray(sharded), np.asarray(plain))
+
+
+def test_saez_external_refresh_under_sharded_batch():
+    """The hoisted saez rates refresh (scalar lax.cond at batch level) must
+    compile and agree under jit with the env axis sharded over a (host, env)
+    mesh — the GSPMD path the distributed trainer uses."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    import ai_economist_tpu as aet
+    from ai_economist_tpu.adapters.batched import auto_reset_step
+
+    E = 8
+    env = aet.make_env_instance(
+        "uniform/simple_wood_and_stone",
+        components=[
+            ("Build", {}),
+            ("Gather", {}),
+            ("PeriodicBracketTax", dict(
+                tax_model="saez", period=3, saez_buffer_size=8,
+                saez_rates_external=True)),
+        ],
+        n_agents=4, world_size=[11, 11], episode_length=30,
+    )
+    keys = jax.random.split(jax.random.PRNGKey(2), E)
+    states, obs = jax.jit(jax.vmap(env.reset_fresh))(keys)
+    acts = {"a": np.zeros((E, 4), np.int32)}
+
+    def run(states, n=7):
+        for _ in range(n):
+            states, obs, rew, done, _ = jax.jit(
+                lambda s, a: auto_reset_step(env, s, a, None, "none")
+            )(states, acts)
+        return states
+
+    plain = run(states)
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("host", "env"))
+    sh = NamedSharding(mesh, P(("host", "env")))
+    states_s = jax.tree.map(
+        lambda x: jax.device_put(x, sh) if getattr(x, "ndim", 0) else x, states)
+    sharded = run(states_s)
+
+    for (pa, a), (_pb, b) in zip(
+        jax.tree_util.tree_flatten_with_path(plain)[0],
+        jax.tree_util.tree_flatten_with_path(sharded)[0],
+    ):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b),
+            err_msg=f"state leaf {jax.tree_util.keystr(pa)}")
