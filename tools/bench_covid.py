@@ -26,6 +26,8 @@ def main():
     ap.add_argument("--num-envs", type=int, default=60)
     ap.add_argument("--steps", type=int, default=540)
     ap.add_argument("--warmup", type=int, default=10)
+    ap.add_argument("--fused", action="store_true",
+                    help="scan-fused marginal methodology (no per-step dispatch)")
     args = ap.parse_args()
 
     env = aet.make_env_instance(
@@ -69,14 +71,53 @@ def main():
         states, obs, rew, done, _ = batch.step(states, random_actions(k, obs))
     jax.block_until_ready(states.t)
 
-    t0 = time.perf_counter()
-    for _ in range(args.steps):
-        key, k = jax.random.split(key)
-        states, obs, rew, done, _ = batch.step(states, random_actions(k, obs))
-    jax.block_until_ready(states.t)
-    dt = time.perf_counter() - t0
+    if args.fused:
+        # Scan-fused marginal methodology (see tools/bench_rbc.py): the
+        # whole masked-sampling + step + auto-reset loop runs as ONE
+        # program with the state threaded and a reward checksum consumed —
+        # per-step dispatch latency (the axon tunnel's ~1.4-2.4 ms floor)
+        # is paid once per call, and the reported rate is the marginal
+        # cost over a T spread, which a result cache cannot fake.
+        from ai_economist_tpu.adapters.batched import auto_reset_step
 
-    sps = args.num_envs * args.steps / dt
+        initial = batch._initial_states
+
+        @jax.jit
+        def run(states, obs, initial, keys):
+            def body(carry, k):
+                states, obs = carry
+                acts = random_actions(k, obs)
+                states, obs, rew, done, _ = auto_reset_step(
+                    env, states, acts, initial, batch.reset_mode)
+                return (states, obs), rew["a"].sum()
+            (states, obs), out = jax.lax.scan(body, (states, obs), keys)
+            return states, obs, out.sum()
+
+        def timed(T, seed):
+            best = float("inf")
+            kk = jax.random.split(jax.random.PRNGKey(seed), T)
+            s, o, t_ = run(states, obs, initial, kk)
+            jax.block_until_ready(t_)
+            for r in range(3):
+                kk = jax.random.split(jax.random.PRNGKey(seed + 1 + r), T)
+                t0 = time.perf_counter()
+                s, o, tot = run(states, obs, initial, kk)
+                jax.block_until_ready((s, tot))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        T1, T2 = args.steps // 4, args.steps
+        dt1, dt2 = timed(T1, 7), timed(T2, 8)
+        sps = args.num_envs * (T2 - T1) / max(dt2 - dt1, 1e-9)
+        dt = dt2
+    else:
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            key, k = jax.random.split(key)
+            states, obs, rew, done, _ = batch.step(states, random_actions(k, obs))
+        jax.block_until_ready(states.t)
+        dt = time.perf_counter() - t0
+        sps = args.num_envs * args.steps / dt
     print(json.dumps({
         "metric": f"env-steps/s/chip covid 51states x {args.num_envs}env ep540",
         "value": round(sps, 1),
