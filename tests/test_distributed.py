@@ -258,3 +258,46 @@ def test_saez_external_refresh_under_sharded_batch():
         np.testing.assert_array_equal(
             np.asarray(a), np.asarray(b),
             err_msg=f"state leaf {jax.tree_util.keystr(pa)}")
+
+
+@pytest.mark.slow
+def test_launch_distributed_saez_sync_runs(tmp_path):
+    """The launcher's per-iteration Saez global-buffer sync (the ADVICE r3
+    fix: tools/launch_distributed.py mirrors run.py's
+    maybe_sync_saez_buffer) must execute under the real 2-process GSPMD
+    mesh — the all-gather over sharded env states compiles and the job
+    completes with finite metrics."""
+    import yaml
+
+    cfg = {
+        "env": {
+            "scenario_name": "uniform/simple_wood_and_stone",
+            "n_agents": 2, "world_size": [8, 8], "episode_length": 8,
+            "components": [
+                {"Build": {}}, {"Gather": {}},
+                {"PeriodicBracketTax": {
+                    "period": 2, "tax_model": "saez",
+                    "saez_buffer_size": 8}},
+            ],
+        },
+        "models": {"agents": "mlp", "planner": "mlp",
+                   "agents_kwargs": {"hidden": 16}},
+        "trainer": {"num_envs": 8, "rollout_len": 4, "epochs": 1,
+                    "num_minibatches": 1, "train_planner": False},
+        "general": {"seed": 0, "num_iterations": 3, "log_every": 1,
+                    "save_every": 0, "sync_saez_buffer": True},
+    }
+    run_dir = tmp_path / "run"
+    run_dir.mkdir()
+    (run_dir / "config.yaml").write_text(yaml.safe_dump(cfg, sort_keys=False))
+
+    p = subprocess.run(
+        [sys.executable, os.path.join(_REPO, "tools", "launch_distributed.py"),
+         str(run_dir), "--nproc", "2", "--devices-per-proc", "2"],
+        capture_output=True, timeout=500, cwd=_REPO,
+    )
+    assert p.returncode == 0, p.stderr.decode()[-3000:]
+    hist = (run_dir / "history.jsonl").read_text().strip().splitlines()
+    assert len(hist) == 3
+    rec = json.loads(hist[-1])
+    assert np.isfinite(rec["reward_a_mean"])
