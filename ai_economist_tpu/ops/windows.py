@@ -59,6 +59,11 @@ from jax.experimental.custom_partitioning import (
 )
 
 
+# Test hook: when True the batched path takes the lanes kernel (in Pallas
+# interpreter mode) even off-TPU, so the padded-E lowering is testable on CPU.
+_FORCE_LANES_INTERPRET = False
+
+
 def _ladder_plan(max_shift: int, K: int):
     """Greedy power-of-2 narrowing plan for shifts in [0, max_shift].
 
@@ -160,9 +165,11 @@ def make_windows_op(n_agents: int, window: int, height: int, width: int,
     f32 with K = 2*window+1, Hp = height + 2*window: the window of channel
     stack `padded_maps` at rows loc[n,0]..loc[n,0]+K-1 (padded coordinates,
     i.e. centered at the agent for a world-coords location). Under
-    `jax.vmap` over a leading env axis the op switches to the
-    envs-on-lanes Pallas kernel (TPU, env counts divisible by 128); other
-    configurations lower to the plain per-env slice path.
+    `jax.vmap` over a leading env axis on TPU the op always lowers to the
+    envs-on-lanes Pallas kernel — env counts that are not a multiple of the
+    128-lane block are padded up and the output sliced back, so training
+    configs like E=120 use the kernel too; off TPU it lowers to the plain
+    per-env slice path.
 
     byte_ok: caller asserts every map value is an integer in [0, 127]
     (e.g. max_health <= 127 and n_agents + 2 <= 127); enables 4-channel
@@ -183,18 +190,30 @@ def make_windows_op(n_agents: int, window: int, height: int, width: int,
 
     def batched_impl(maps, loc):
         E = maps.shape[0]
+        use_lanes = jax.default_backend() == "tpu" or _FORCE_LANES_INTERPRET
+        if not use_lanes:
+            return jax.vmap(single)(maps, loc)
         # block_e=128 keeps the working set (double-buffered in/out blocks +
         # the compiler's stack for the agent-loop ladder temporaries) under
         # the 16 MB scoped-VMEM budget; 256 was measured to OOM at 16.5 MB
-        # on the bench shapes.
-        block_e = 128 if E % 128 == 0 else None
-        if jax.default_backend() != "tpu" or block_e is None:
-            return jax.vmap(single)(maps, loc)
-        return _lanes_windows(
+        # on the bench shapes. Non-divisible env counts (e.g. the 120-replica
+        # phase-1/2 training configs) are PADDED up to the next block — the
+        # padded lanes cost pure VPU work and are sliced off the output —
+        # so the kernel, not the per-env slice fallback, serves every TPU
+        # batch size (round-4 review: the fallback silently bypassed the
+        # kernel on exactly the committed training configs).
+        block_e = 128
+        Ep = -(-E // block_e) * block_e
+        if Ep != E:
+            maps = jnp.pad(maps, ((0, Ep - E), (0, 0), (0, 0), (0, 0)))
+            loc = jnp.pad(loc, ((0, Ep - E), (0, 0), (0, 0)))
+        out = _lanes_windows(
             maps, loc, n_agents=n_agents, K=K,
             max_r=height - 1, max_c=width - 1,
             block_e=block_e, pack=byte_ok,
+            interpret=_FORCE_LANES_INTERPRET,
         )
+        return out[:E] if Ep != E else out
 
     batched = custom_partitioning(batched_impl)
 

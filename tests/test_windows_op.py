@@ -92,6 +92,45 @@ def test_lanes_kernel_interpret_matches_brute_force(pack, world):
     np.testing.assert_array_equal(np.asarray(out[1]), brute_force(maps[1], loc[1], K))
 
 
+@pytest.mark.parametrize("E", [120, 9, 200])
+def test_lanes_path_serves_non_divisible_env_counts(E, monkeypatch):
+    """Round-4 review item: E=120 (the committed phase-1/2 and saez training
+    configs) silently fell back to the per-env slice path. The batched
+    lowering must now pad the env axis to the 128-lane block, run the Pallas
+    kernel, and slice back — bit-identical to the slice path at ANY E."""
+    import ai_economist_tpu.ops.windows as W
+
+    H = Wd = 25
+    w = 5
+    K = 2 * w + 1
+    N, M = 4, 7
+    rng = np.random.RandomState(E)
+    maps = rng.randint(0, 127, size=(E, M, H + 2 * w, Wd + 2 * w)).astype(np.float32)
+    loc = rng.randint(0, [H, Wd], size=(E, N, 2)).astype(np.int32)
+    loc[0] = [0, 0]
+    loc[-1] = [H - 1, Wd - 1]
+
+    op = make_windows_op(N, w, H, Wd, byte_ok=True)
+    ref = jax.jit(jax.vmap(op))(jnp.asarray(maps), jnp.asarray(loc))
+
+    calls = []
+    orig = W._lanes_windows
+
+    def spy(*args, **kwargs):
+        calls.append(args[0].shape)
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(W, "_lanes_windows", spy)
+    monkeypatch.setattr(W, "_FORCE_LANES_INTERPRET", True)
+    op2 = make_windows_op(N, w, H, Wd, byte_ok=True)
+    out = jax.jit(jax.vmap(op2))(jnp.asarray(maps), jnp.asarray(loc))
+
+    # The kernel ran, on an env axis padded to the 128 block.
+    assert calls and calls[0][0] == -(-E // 128) * 128
+    assert out.shape == (E, N, M, K, K)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
 def test_windows_inside_scan_vmap_jit():
     """The op must compose with scan+vmap+jit the way the trainer uses it."""
     H = Wd = 9
