@@ -227,9 +227,18 @@ def main(run_dir: str):
         open(history_path, "w").close()
     elif os.path.exists(history_path):
         import json as _json
+
+        def _iter_of(ln):
+            # A crash mid-write leaves a truncated final line — exactly the
+            # scenario this resume path serves; drop unparsable lines rather
+            # than aborting the restart.
+            try:
+                return _json.loads(ln).get("iteration", -1)
+            except ValueError:
+                return -1
+
         with open(history_path) as f:
-            kept = [ln for ln in f
-                    if ln.strip() and _json.loads(ln).get("iteration", -1) < start]
+            kept = [ln for ln in f if ln.strip() and 0 <= _iter_of(ln) < start]
         with open(history_path, "w") as f:
             f.writelines(kept)
     for it in range(start, num_iters):

@@ -253,3 +253,53 @@ def test_saez_sync_in_training_loop():
     states, _ = batch.reset(jax.random.PRNGKey(1))
     out = sync_saez_buffers(states)
     assert out is states
+
+
+def test_eval_tool_applies_saez_refresh():
+    """Round-4 advisor (medium): the eval tool stepped env.step per episode
+    under vmap, so the hoisted saez day-1 update (saez_rates_external=True,
+    injected by build_trainer) never ran — rates stayed frozen at reset for
+    the whole eval. The batch-level eval loop must update rates at period
+    boundaries exactly like training's auto_reset_step."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "eval_social_metrics",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tools", "eval_social_metrics.py"),
+    )
+    esm = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(esm)
+
+    from ai_economist_tpu.training.run import build_trainer
+
+    cfg = {
+        "env": {
+            "scenario_name": "uniform/simple_wood_and_stone",
+            "components": [
+                ("Build", {}),
+                ("Gather", {}),
+                ("PeriodicBracketTax", {"period": 5, "tax_model": "saez"}),
+            ],
+            "n_agents": 2,
+            "world_size": [8, 8],
+            "episode_length": 20,
+        },
+        "trainer": {"num_envs": 3, "rollout_len": 10, "epochs": 1},
+        "models": {"agents": "mlp", "planner": "linear"},
+    }
+    trainer = build_trainer(cfg)
+    comp = trainer.env.get_component("PeriodicBracketTax")
+    assert comp.rates_external  # the injected hoisted mode under test
+    ts = trainer.init(jax.random.PRNGKey(0))
+
+    metrics, states = esm.evaluate(trainer, ts, episodes=4, seed=7)
+    assert np.isfinite(float(np.mean(np.asarray(
+        metrics["social/productivity"]))))
+    # Rates at episode end must differ from the reset rates: the episode
+    # crosses three period boundaries (warmup => fresh random rates each).
+    keys = jax.random.split(jax.random.PRNGKey(7), 4)
+    states0, _ = jax.jit(jax.vmap(trainer.env.reset_fresh))(keys)
+    r0 = np.asarray(states0.comp[comp.name]["curr_bracket_tax_rates"])
+    r1 = np.asarray(states.comp[comp.name]["curr_bracket_tax_rates"])
+    assert not np.array_equal(r0, r1), "saez rates frozen during eval"

@@ -6,7 +6,15 @@ planner should raise equality x productivity over the free-market baseline.
 Rolls E greedy evaluation episodes with the run's restored policies and
 averages the scenario's social metrics at episode end.
 
+Episodes step at BATCH level (scan over T outside the episode vmap), exactly
+like training's auto_reset_step: `env.maybe_saez_refresh` is applied before
+every vmapped step, so runs whose config hoists the saez day-1 formula out
+of the step (saez_rates_external=True, injected by build_trainer for saez
+configs) evaluate under the live tax schedule rather than rates frozen at
+reset (round-4 advisor finding).
+
 Usage: python tools/eval_social_metrics.py <run_dir> [--episodes 32]
+           [--step N]   # evaluate a specific checkpoint iteration
 Prints one JSON line; append-friendly for RESULTS.md.
 """
 
@@ -28,69 +36,85 @@ jax.config.update(
 import jax.numpy as jnp
 import numpy as np
 
+METRIC_KEYS = (
+    "social/productivity",
+    "social/equality",
+    "social_welfare/coin_eq_times_productivity",
+)
+
+
+def evaluate(trainer, ts, episodes: int, seed: int = 1234):
+    """Greedy-rollout `episodes` episodes in one batch; returns metric arrays."""
+    env = trainer.env
+    N = env.n_agents
+
+    def fold2(tree):
+        return jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), tree)
+
+    def run(keys):
+        E = keys.shape[0]
+        states, obs = jax.vmap(env.reset_fresh)(keys)
+        carry_a = trainer.model_a.initial_carry(E * N)
+        carry_p = trainer.model_p.initial_carry(E)
+
+        def step_fn(carry, _):
+            states, obs, ca, cp = carry
+            obs_a = fold2({k: obs["a"][k] for k in obs["a"] if k != "pa"})
+            logits_a, _, ca = trainer.model_a.apply(ts.params_a, obs_a, ca)
+            act = {"a": jnp.argmax(logits_a, -1).reshape(E, N).astype(jnp.int32)}
+            if trainer.has_planner_actions:
+                logits_p, _, cp = trainer.model_p.apply(ts.params_p, obs["p"], cp)
+                outs, off = [], 0
+                for dim in trainer.p_layout.action_dims:
+                    outs.append(jnp.argmax(logits_p[:, off:off + dim], -1))
+                    off += dim
+                act["p"] = jnp.stack(outs, axis=-1).astype(jnp.int32)
+            states = env.maybe_saez_refresh(states)
+            nstates, nobs, rew, done, _ = jax.vmap(env.step)(states, act)
+            return (nstates, nobs, ca, cp), None
+
+        (states, *_), _ = jax.lax.scan(
+            step_fn, (states, obs, carry_a, carry_p), None,
+            length=env.episode_length,
+        )
+        m = jax.vmap(env.metrics)(states)
+        return {k: m[k] for k in METRIC_KEYS}, states
+
+    keys = jax.random.split(jax.random.PRNGKey(seed), episodes)
+    return jax.jit(run)(keys)
+
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("run_dir")
     ap.add_argument("--episodes", type=int, default=32)
+    ap.add_argument("--step", type=int, default=None,
+                    help="checkpoint iteration to evaluate (default: latest)")
+    ap.add_argument("--seed", type=int, default=1234)
     args = ap.parse_args()
 
     from ai_economist_tpu.training import run as R
+    from ai_economist_tpu.utils.checkpoint import CheckpointManager
 
     cfg = R.load_config(args.run_dir)
     trainer = R.build_trainer(cfg)
-    mgr, _dense, ts, start = R.set_up_dirs_and_maybe_restore(
-        args.run_dir, cfg, trainer, jax.random.PRNGKey(0)
-    )
+    ts = trainer.init(jax.random.PRNGKey(0))
+    mgr = CheckpointManager(os.path.join(os.path.abspath(args.run_dir), "ckpts"))
+    step = args.step if args.step is not None else mgr.latest_step()
+    ts = mgr.restore(ts, step)
     mgr.close()
-    env = trainer.env
 
-    def rollout(key):
-        k0, key = jax.random.split(key)
-        state, obs = env.reset_fresh(k0)
-        carry_a = trainer.model_a.initial_carry(env.n_agents)
-        carry_p = trainer.model_p.initial_carry(1)
-
-        def step_fn(carry, _):
-            state, obs, ca, cp = carry
-            logits_a, _, ca = trainer.model_a.apply(
-                ts.params_a,
-                {k: obs["a"][k] for k in obs["a"] if k != "pa"},
-                ca,
-            )
-            act = {"a": jnp.argmax(logits_a, -1).astype(jnp.int32)}
-            if trainer.has_planner_actions:
-                obs_p = {k: v[None] for k, v in obs["p"].items()}
-                logits_p, _, cp = trainer.model_p.apply(ts.params_p, obs_p, cp)
-                outs, off = [], 0
-                for dim in trainer.p_layout.action_dims:
-                    outs.append(jnp.argmax(logits_p[0, off:off + dim], -1))
-                    off += dim
-                act["p"] = jnp.stack(outs).astype(jnp.int32)
-            nstate, nobs, rew, done, _ = env.step(state, act)
-            return (nstate, nobs, ca, cp), None
-
-        (state, *_), _ = jax.lax.scan(
-            step_fn, (state, obs, carry_a, carry_p), None,
-            length=env.episode_length,
-        )
-        m = env.metrics(state)
-        return {
-            k: m[k] for k in (
-                "social/productivity", "social/equality",
-                "social_welfare/coin_eq_times_productivity",
-            )
-        }
-
-    keys = jax.random.split(jax.random.PRNGKey(1234), args.episodes)
-    out = jax.jit(jax.vmap(rollout))(keys)
+    out, _ = evaluate(trainer, ts, args.episodes, args.seed)
     res = {
         "run": os.path.basename(os.path.abspath(args.run_dir)),
-        "restored_iteration": int(start),
+        "restored_iteration": int(step),
         "episodes": args.episodes,
         **{k.split("/")[-1]: round(float(np.mean(np.asarray(v))), 4)
            for k, v in out.items()},
         **{k.split("/")[-1] + "_std": round(float(np.std(np.asarray(v))), 4)
+           for k, v in out.items()},
+        **{k.split("/")[-1] + "_sem": round(
+            float(np.std(np.asarray(v)) / np.sqrt(args.episodes)), 4)
            for k, v in out.items()},
     }
     print(json.dumps(res))
