@@ -19,10 +19,11 @@ Optionally shards the env axis over a device mesh.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ai_economist_tpu.core.env import TpuEnv
 from ai_economist_tpu.core.state import EnvState
@@ -132,8 +133,19 @@ class BatchedEnv:
 
         self._reset_b = jax.jit(jax.vmap(env.reset_fresh))
         self._step_b = jax.jit(self._step_impl)
+        self._replay: Optional[Dict[str, Any]] = None
 
-    def reset(self, key):
+    def reset(self, key, record: bool = False):
+        """Reset all replicas from `key`. With record=True, begin recording a
+        replay log: the trajectory is fully determined by (key, actions), so
+        the log is just the reset key plus the per-step action stream (the
+        reference stores per-step RNG seed states for the same guarantee,
+        base_env.py:454-471; here the whole sim runs on counter-based
+        threefry keys carried in the state, so the reset key suffices)."""
+        if record:
+            self._replay = {"reset_key": _key_data(key), "actions": []}
+        else:
+            self._replay = None
         keys = jax.random.split(key, self.num_envs)
         if self.mesh is not None:
             keys = shard_batch(keys, self.mesh)
@@ -148,4 +160,74 @@ class BatchedEnv:
 
     def step(self, states, actions: Dict[str, jnp.ndarray]):
         assert self._initial_states is not None, "call reset() first"
+        if self._replay is not None:
+            self._replay["actions"].append(
+                {k: np.asarray(v) for k, v in actions.items()}
+            )
         return self._step_b(states, actions, self._initial_states)
+
+    # ------------------------------------------------------------------
+    # episode replay (reference base_env.py:454-471 `_replay` analog)
+    # ------------------------------------------------------------------
+    def save_replay(self, path: str) -> str:
+        """Save the replay log recorded since `reset(key, record=True)` as
+        lz4 JSON. `playback(load_episode_log(path))` on an identically
+        configured BatchedEnv re-creates the trajectory bit-identically,
+        including through auto-reset boundaries."""
+        from ai_economist_tpu.utils.logs import save_episode_log
+
+        if self._replay is None:
+            raise ValueError("no replay recorded; call reset(key, record=True)")
+        log = {
+            "format": "ai_economist_tpu/replay-v1",
+            "num_envs": self.num_envs,
+            "reset_mode": self.reset_mode,
+            "n_agents": self.env.n_agents,
+            "reset_key": self._replay["reset_key"].tolist(),
+            "actions": [
+                {k: v.tolist() for k, v in step.items()}
+                for step in self._replay["actions"]
+            ],
+        }
+        return save_episode_log(log, path)
+
+    def playback(self, log):
+        """Re-run a recorded trajectory; yields (states, obs, rew, done, info)
+        per recorded step. `log` is a dict from `load_episode_log` (or a path
+        to one). The env build, num_envs, and reset flavor must match the
+        recording — the trajectory is then bit-identical to the live run."""
+        if isinstance(log, str):
+            from ai_economist_tpu.utils.logs import load_episode_log
+
+            log = load_episode_log(log)
+        if log.get("format") != "ai_economist_tpu/replay-v1":
+            raise ValueError(f"not a replay log: format={log.get('format')!r}")
+        for field, mine in (("num_envs", self.num_envs),
+                            ("reset_mode", self.reset_mode),
+                            ("n_agents", self.env.n_agents)):
+            if log[field] != mine:
+                raise ValueError(
+                    f"replay {field}={log[field]} but this BatchedEnv has "
+                    f"{field}={mine}; playback requires the recording's "
+                    f"configuration"
+                )
+        key = _key_from_data(np.asarray(log["reset_key"], dtype=np.uint32))
+        states, obs = self.reset(key)
+        for step in log["actions"]:
+            actions = {
+                k: jnp.asarray(np.asarray(v, dtype=np.int32))
+                for k, v in step.items()
+            }
+            states, obs, rew, done, info = self.step(states, actions)
+            yield states, obs, rew, done, info
+
+
+def _key_data(key) -> np.ndarray:
+    """Raw uint32 words of a PRNG key (typed or raw)."""
+    if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+        return np.asarray(jax.random.key_data(key))
+    return np.asarray(key)
+
+
+def _key_from_data(data: np.ndarray):
+    return jnp.asarray(data, dtype=jnp.uint32)
