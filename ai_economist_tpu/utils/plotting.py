@@ -157,7 +157,8 @@ def vis_builds(dense_logs, ax=None):
 # ----------------------------------------------------------------------
 def _trade_str(c_trades, resource, agent, income=True):
     side, key = ("seller", "income") if income else ("buyer", "cost")
-    p = [x[key] for x in c_trades[resource] if x[side] == agent]
+    # A resource with zero executed trades has no key in c_trades.
+    p = [x[key] for x in c_trades.get(resource, []) if x[side] == agent]
     if p:
         return "{:6.2f} (n={:3d})".format(np.mean(p), len(p))
     return " " * 3 + "~" * 8 + " " * 3
