@@ -96,6 +96,11 @@ class Uniform(Scenario):
             spec.n_agents, self._obs_range, spec.height, spec.width,
             byte_ok=byte_ok,
         )
+        # Under the same guarantee, every value of the spatial observations
+        # ("world-map"/"world-idx_map") is an integer in [0, 127]: trainers
+        # may store rollout map obs as uint8 (4x less HBM for the BPTT
+        # batch) and cast back losslessly at the policy input.
+        self.obs_maps_are_bytes = byte_ok
 
         H, Wd = spec.height, spec.width
         if starting_wood_coverage >= 1:

@@ -29,6 +29,58 @@ def apply_logit_mask(logits: jnp.ndarray, mask: Optional[jnp.ndarray]) -> jnp.nd
     return logits + LOGIT_MASK_VALUE * (1.0 - mask)
 
 
+class OneHotEmbed(nn.Module):
+    """nn.Embed drop-in whose lookup is a one-hot CONTRACTION, not a gather.
+
+    TPU gathers/scatters over a tiny table serialize: profiled at 2048-env
+    training batches, nn.Embed's forward lookup plus its scatter-add table
+    gradient were ~75% of the whole train iteration (86 ms per 10M-index
+    scatter into [100, 4]). Expressed as `onehot(idx) @ table`, the forward
+    is an MXU matmul whose one-hot operand fuses into the tiles (never
+    materialized), and the table gradient is the transposed contraction —
+    also a matmul, no scatter. Forward values are bit-exact vs the gather
+    (exactly one nonzero per row). Same param name/shape/init as nn.Embed,
+    so checkpoints are interchangeable.
+    """
+
+    num_embeddings: int
+    features: int
+    # merge_last_axis: treat idx's last axis as C parallel index channels
+    # and emit their embeddings CONCATENATED ([..., C*features]) straight
+    # from one contraction with a block-diagonal kron(eye(C), table) — the
+    # separate [..., C, features] intermediate (minor dim `features`, tile-
+    # padded up to 32x) never exists.
+    merge_last_axis: bool = False
+
+    @nn.compact
+    def __call__(self, idx: jnp.ndarray) -> jnp.ndarray:
+        table = self.param(
+            "embedding",
+            nn.initializers.variance_scaling(1.0, "fan_in", "normal",
+                                             out_axis=0),
+            (self.num_embeddings, self.features),
+        )
+        # Compare in the index's native dtype (u8 from compressed rollout
+        # batches, f32 from live obs — map values are exact small ints in
+        # every case), avoiding an s32 cast + relayout copy per use.
+        oh = (idx[..., None] ==
+              jnp.arange(self.num_embeddings).astype(idx.dtype)
+              ).astype(table.dtype)
+        if self.merge_last_axis:
+            C = idx.shape[-1]
+            t2 = jnp.kron(jnp.eye(C, dtype=table.dtype), table)
+            out = jax.lax.dot_general(
+                oh.reshape(-1, C * self.num_embeddings), t2,
+                (((1,), (0,)), ((), ())),
+            )
+            return out.reshape(idx.shape[:-1] + (C * self.features,))
+        out = jax.lax.dot_general(
+            oh.reshape(-1, self.num_embeddings), table,
+            (((1,), (0,)), ((), ())),
+        )
+        return out.reshape(idx.shape + (self.features,))
+
+
 class _ConvTower(nn.Module):
     num_conv: int = 2
 
@@ -38,6 +90,61 @@ class _ConvTower(nn.Module):
         for _ in range(self.num_conv - 1):
             x = nn.relu(nn.Conv(32, (3, 3), strides=2, padding="VALID")(x))
         return x.reshape(x.shape[0], -1)
+
+
+def _build_tower(m, tag: str, use_conv: bool):
+    """Instantiate one tower's submodules (names shared with the step-wise
+    ConvLSTMPolicy so both modules consume the same parameter tree).
+    Creation happens exactly once per trace; application may repeat (e.g.
+    per time chunk in ConvLSTMPolicySeq)."""
+    mods = {
+        "dense": [nn.Dense(m.fc_dim, name=f"dense{i + 1}_{tag}")
+                  for i in range(m.num_fc)],
+        "ln": nn.LayerNorm(name=f"ln_{tag}"),
+    }
+    if use_conv:
+        mods["embed"] = OneHotEmbed(
+            m.input_emb_vocab, m.emb_dim, merge_last_axis=True,
+            name=f"embedding_{tag}")
+        mods["conv"] = _ConvTower(m.num_conv, name=f"conv_{tag}")
+    return mods
+
+
+def _apply_tower(mods, obs: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    """Pre-LSTM features of one tower; obs leaves have one leading batch
+    axis."""
+    flat_parts = [obs["flat"]]
+    if "time" in obs:
+        t = obs["time"]
+        flat_parts.append(t if t.ndim == 2 else t[:, None])
+    if "pa" in obs:  # planner: agent-wise sub-obs [B, N, F] -> [B, N*F]
+        flat_parts.append(obs["pa"].reshape(obs["pa"].shape[0], -1))
+    non_conv = jnp.concatenate(flat_parts, axis=-1)
+
+    if "conv" in mods:
+        # Map obs may arrive uint8-compressed from the rollout batch
+        # (trainer MAP_OBS_KEYS); the cast back is lossless.
+        wm = jnp.transpose(obs["world-map"], (0, 2, 3, 1)).astype(
+            jnp.float32
+        )  # BHWC
+        # idx stays in its storage dtype (u8/f32); OneHotEmbed compares
+        # against a native-dtype iota, so no integer cast is needed.
+        idx = obs["world-idx_map"]
+        # merge_last_axis embed: [B, H, W, C_idx] -> [B, H, W, C_idx*emb]
+        emb = mods["embed"](jnp.transpose(idx, (0, 2, 3, 1)))
+        conv_in = jnp.concatenate([wm, emb], axis=-1)
+        conv_out = mods["conv"](conv_in)
+        dense = jnp.concatenate([conv_out, non_conv], axis=-1)
+    else:
+        dense = non_conv
+    for layer in mods["dense"]:
+        dense = nn.relu(layer(dense))
+    return mods["ln"](dense)
+
+
+def _tower_features(m, obs: Dict[str, jnp.ndarray], tag: str) -> jnp.ndarray:
+    """Build + apply one tower (the step-wise single-call path)."""
+    return _apply_tower(_build_tower(m, tag, "world-map" in obs), obs)
 
 
 class ConvLSTMPolicy(nn.Module):
@@ -60,34 +167,10 @@ class ConvLSTMPolicy(nn.Module):
     @nn.compact
     def __call__(self, obs: Dict[str, jnp.ndarray], carry):
         (pol_carry, val_carry) = carry
-        use_conv = "world-map" in obs
-
-        flat_parts = [obs["flat"]]
-        if "time" in obs:
-            t = obs["time"]
-            flat_parts.append(t if t.ndim == 2 else t[:, None])
-        if "pa" in obs:  # planner: agent-wise sub-obs [B, N, F] -> [B, N*F]
-            flat_parts.append(obs["pa"].reshape(obs["pa"].shape[0], -1))
-        non_conv = jnp.concatenate(flat_parts, axis=-1)
-
         outs = []
         new_carries = []
         for tag, cr in (("pol", pol_carry), ("val", val_carry)):
-            if use_conv:
-                wm = jnp.transpose(obs["world-map"], (0, 2, 3, 1))  # BHWC
-                idx = obs["world-idx_map"].astype(jnp.int32)
-                emb = nn.Embed(
-                    self.input_emb_vocab, self.emb_dim, name=f"embedding_{tag}"
-                )(jnp.transpose(idx, (0, 2, 3, 1)))
-                emb = emb.reshape(emb.shape[:3] + (-1,))
-                conv_in = jnp.concatenate([wm, emb], axis=-1)
-                conv_out = _ConvTower(self.num_conv, name=f"conv_{tag}")(conv_in)
-                dense = jnp.concatenate([conv_out, non_conv], axis=-1)
-            else:
-                dense = non_conv
-            for i in range(self.num_fc):
-                dense = nn.relu(nn.Dense(self.fc_dim, name=f"dense{i + 1}_{tag}")(dense))
-            dense = nn.LayerNorm(name=f"ln_{tag}")(dense)
+            dense = _tower_features(self, obs, tag)
             cell = nn.OptimizedLSTMCell(self.cell_size, name=f"lstm_{tag}")
             new_cr, lstm_out = cell(cr, dense)
             new_carries.append(new_cr)
@@ -101,6 +184,130 @@ class ConvLSTMPolicy(nn.Module):
     def initial_carry(self, batch_size: int):
         zeros = jnp.zeros((batch_size, self.cell_size), jnp.float32)
         return ((zeros, zeros), (zeros, zeros))
+
+
+class ConvLSTMPolicySeq(nn.Module):
+    """Time-parallel twin of ConvLSTMPolicy for whole-sequence consumers.
+
+    Same parameter tree as ConvLSTMPolicy (shared _tower_features + matching
+    lstm/head names), but consumes obs sequences [T, B, ...]: the conv/FC/LN
+    torso and the output heads run ONCE over the folded [T*B] batch —
+    MXU-sized matmuls instead of T tiny per-step launches — and only the
+    LSTM cells scan over time on [B, cell_size] features. This is the
+    TPU-shaped layout for the PPO update, where the whole rollout window is
+    available at once; the step-wise module remains the acting path.
+
+    Returns (logits [T,B,A], value [T,B], final carry).
+    """
+
+    num_actions: int
+    input_emb_vocab: int = 100
+    emb_dim: int = 4
+    num_conv: int = 2
+    num_fc: int = 2
+    fc_dim: int = 128
+    cell_size: int = 128
+
+    # Target folded-batch size for one torso launch. Bounds peak HBM: the
+    # torso's conv-boundary intermediates are materialized per chunk only
+    # (the chunk scan is rematerialized), while each chunk stays MXU-sized.
+    torso_batch_target: int = 65536
+
+    def _chunk_steps(self, T: int, B: int) -> int:
+        """Largest divisor d of T with d*B <= torso_batch_target (min 1)."""
+        best = 1
+        for d in range(1, T + 1):
+            if T % d == 0 and d * B <= self.torso_batch_target:
+                best = d
+        return best
+
+    @nn.compact
+    def __call__(self, obs_seq: Dict[str, jnp.ndarray], carry):
+        T, B = obs_seq["flat"].shape[:2]
+
+        # Fold BATCH-major: [T, B, ...] -> [B, T, ...] -> [B*T, ...].
+        # B is the sharded (env x agent) axis under a device mesh; merging
+        # it as the MAJOR dim keeps the merged axis sharded, whereas a
+        # [T*B] time-major fold makes GSPMD all-gather the whole rollout
+        # batch across hosts (caught by tools/collective_audit.py).
+        obs_bt = {k: jnp.swapaxes(v, 0, 1) for k, v in obs_seq.items()}
+
+        chunk = self._chunk_steps(T, B)
+        if chunk == T:
+            obs_f = {
+                k: v.reshape((B * T,) + v.shape[2:])
+                for k, v in obs_bt.items()
+            }
+            f_p = _tower_features(self, obs_f, "pol").reshape(B, T, -1)
+            f_v = _tower_features(self, obs_f, "val").reshape(B, T, -1)
+        else:
+            # Chunked torso (chunks slice the replicated T axis): the
+            # dominant transient (the folded conv-boundary copies) is
+            # bounded to one chunk's worth. NOTE: nn.remat around the chunk
+            # reliably crashes the TPU compiler's memory-space assignment
+            # (ConsumeResource check failure); the chunks run unremat'd —
+            # the true backward residuals per sample are small.
+            nchunks = T // chunk
+            use_conv = "world-map" in obs_seq
+            mods_p = _build_tower(self, "pol", use_conv)
+            mods_v = _build_tower(self, "val", use_conv)
+            fps, fvs = [], []
+            for c in range(nchunks):
+                obs_ch = {
+                    k: v[:, c * chunk:(c + 1) * chunk].reshape(
+                        (B * chunk,) + v.shape[2:])
+                    for k, v in obs_bt.items()
+                }
+                fps.append(_apply_tower(mods_p, obs_ch).reshape(B, chunk, -1))
+                fvs.append(_apply_tower(mods_v, obs_ch).reshape(B, chunk, -1))
+            f_p = jnp.concatenate(fps, axis=1)
+            f_v = jnp.concatenate(fvs, axis=1)
+
+        f_p = jnp.swapaxes(f_p, 0, 1)  # [T, B, F]
+        f_v = jnp.swapaxes(f_v, 0, 1)
+
+        def cell_step(m, carry, xs):
+            (pc, vc) = carry
+            fp_t, fv_t = xs
+            pc, out_p = nn.OptimizedLSTMCell(m.cell_size, name="lstm_pol")(
+                pc, fp_t)
+            vc, out_v = nn.OptimizedLSTMCell(m.cell_size, name="lstm_val")(
+                vc, fv_t)
+            return (pc, vc), (out_p, out_v)
+
+        scan = nn.scan(
+            cell_step, variable_broadcast="params",
+            split_rngs={"params": False}, in_axes=0, out_axes=0,
+        )
+        carry, (out_p, out_v) = scan(self, carry, (f_p, f_v))
+
+        # Heads contract the feature (last) axis of [T, B, F] directly — no
+        # fold, so no resharding of the batch axis.
+        logits = nn.Dense(self.num_actions, name="head_pol")(out_p)
+        logits = apply_logit_mask(logits, obs_seq.get("action_mask"))
+        value = nn.Dense(1, name="head_val")(out_v)[..., 0]
+        return logits, value, carry
+
+    def initial_carry(self, batch_size: int):
+        zeros = jnp.zeros((batch_size, self.cell_size), jnp.float32)
+        return ((zeros, zeros), (zeros, zeros))
+
+
+_CONV_LSTM_FIELDS = ("num_actions", "input_emb_vocab", "emb_dim", "num_conv",
+                     "num_fc", "fc_dim", "cell_size")
+
+
+def sequence_twin(model):
+    """The whole-sequence twin of a step-wise policy, or None.
+
+    ConvLSTMPolicy -> ConvLSTMPolicySeq with the same config (and the same
+    parameter tree). Carry-less models need no twin: consumers fold time
+    into the batch axis directly.
+    """
+    if isinstance(model, ConvLSTMPolicy):
+        return ConvLSTMPolicySeq(**{f: getattr(model, f)
+                                    for f in _CONV_LSTM_FIELDS})
+    return None
 
 
 class MLPPolicy(nn.Module):

@@ -24,6 +24,11 @@ class PPOConfig(NamedTuple):
     num_minibatches: int = 1
     max_grad_norm: float = 10.0
     rollout_len: int = 25
+    # Rematerialize the per-step policy apply in the BPTT backward pass:
+    # O(1)-in-T activation memory instead of O(T), at the cost of one extra
+    # forward (near-free for these op-bound policies). Required for
+    # chip-scale replica counts (2048+); gradients are bit-identical.
+    remat: bool = True
 
 
 def gae(rewards, values, dones, last_value, gamma, lam):

@@ -34,11 +34,13 @@ from ai_economist_tpu.training.models import (
     multi_subspace_entropy,
     multi_subspace_log_prob,
     sample_multi_subspace,
+    sequence_twin,
 )
 from ai_economist_tpu.training.ppo import PPOConfig, gae, ppo_loss
 
 A_OBS_KEYS = ("world-map", "world-idx_map", "flat", "time", "action_mask")
 P_OBS_KEYS = ("world-map", "world-idx_map", "flat", "time", "action_mask", "pa")
+MAP_OBS_KEYS = ("world-map", "world-idx_map")
 
 
 def _select(obs: Dict[str, jnp.ndarray], keys) -> Dict[str, jnp.ndarray]:
@@ -118,6 +120,28 @@ class TwoLevelTrainer:
             optax.adam(self.cfg.lr),
         )
         self._initial_states = None
+        # Whole-sequence twins for the PPO update: the conv/FC/LN torso and
+        # heads run once over the folded [T*B] batch, only the LSTM cell
+        # scans over time (models.ConvLSTMPolicySeq — same param tree).
+        self.model_a_seq = sequence_twin(self.model_a)
+        self.model_p_seq = sequence_twin(self.model_p)
+        # Rollout-batch map-obs compression: when the scenario guarantees
+        # byte-valued integer maps (wood_and_stone's windows byte_ok
+        # guarantee), store "world-map"/"world-idx_map" as uint8 in the BPTT
+        # batch. The cast is lossless (small ints), cuts the dominant
+        # training HBM term 4x, and shrinks every whole-sequence copy XLA's
+        # while-loop carries for the update scan.
+        self._compress_maps = bool(
+            getattr(env.scenario, "obs_maps_are_bytes", False)
+        )
+
+    def _compress_obs(self, obs: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        if not self._compress_maps:
+            return obs
+        return {
+            k: (v.astype(jnp.uint8) if k in MAP_OBS_KEYS else v)
+            for k, v in obs.items()
+        }
 
     # ------------------------------------------------------------------
     def init(self, key) -> TrainerState:
@@ -213,8 +237,8 @@ class TwoLevelTrainer:
             new_carry_p = reset_carry(new_carry_p, 1)
 
             record = dict(
-                obs_a=_fold2(_select(obs["a"], A_OBS_KEYS)),
-                obs_p=_select(obs["p"], P_OBS_KEYS),
+                obs_a=self._compress_obs(_fold2(_select(obs["a"], A_OBS_KEYS))),
+                obs_p=self._compress_obs(_select(obs["p"], P_OBS_KEYS)),
                 act_a=act_a,
                 logp_a=logp_a,
                 val_a=value_a,
@@ -245,34 +269,72 @@ class TwoLevelTrainer:
     # ------------------------------------------------------------------
     def _update_policy(
         self, model, params, opt_state, obs_seq, init_carry, act, logp_old,
-        adv, ret, entropy_coef, key, multi_dims=None,
+        adv, ret, entropy_coef, key, multi_dims=None, model_seq=None,
     ):
         """One PPO epoch over the rollout (BPTT from init_carry).
 
         Minibatches along the batch (env×agent) axis — each minibatch keeps
         its full T-length window and its own init_carry slice, so truncated
         BPTT stays intact (the reference trains with sgd_minibatch_size:
-        3000, tutorials/rllib/phase1/config.yaml)."""
+        3000, tutorials/rllib/phase1/config.yaml).
+
+        The sequence is evaluated time-parallel wherever possible: via the
+        model's whole-sequence twin (LSTM models — only the cell scans over
+        T), or by folding T into the batch axis (carry-less models). The
+        per-step scan of the full network remains only as the generic
+        fallback; it is the slowest lowering on TPU (T tiny launches per
+        epoch instead of a handful of [T*B]-sized ops)."""
         cfg = self.cfg
 
-        def loss_fn(p, mb):
-            def scan_step(carry, xs):
-                obs_t, act_t = xs
-                logits, value, carry = model.apply(p, obs_t, carry)
-                if multi_dims is None:
-                    lp = jnp.take_along_axis(
-                        jax.nn.log_softmax(logits), act_t[:, None], axis=1
-                    )[:, 0]
-                    plogp = jax.nn.log_softmax(logits)
-                    ent = -(jnp.exp(plogp) * plogp).sum(-1)
-                else:
-                    lp = multi_subspace_log_prob(logits, act_t, multi_dims)
-                    ent = multi_subspace_entropy(logits, multi_dims)
-                return carry, (lp, value, ent)
+        def seq_logits_lp_ent(logits, value, act_s):
+            """lp/ent from whole-sequence logits [T, B, A] + acts [T, B(,S)]."""
+            if multi_dims is None:
+                plogp = jax.nn.log_softmax(logits)
+                lp = jnp.take_along_axis(
+                    plogp, act_s[..., None], axis=-1
+                )[..., 0]
+                ent = -(jnp.exp(plogp) * plogp).sum(-1)
+            else:
+                lp = multi_subspace_log_prob(logits, act_s, multi_dims)
+                ent = multi_subspace_entropy(logits, multi_dims)
+            return lp, value, ent
 
-            _, (lp, value, ent) = jax.lax.scan(
-                scan_step, mb["carry"], (mb["obs"], mb["act"])
-            )
+        def loss_fn(p, mb):
+            if model_seq is not None:
+                logits, value, _ = model_seq.apply(p, mb["obs"], mb["carry"])
+                lp, value, ent = seq_logits_lp_ent(logits, value, mb["act"])
+            elif mb["carry"] is None:
+                # No recurrence: one folded forward. Fold BATCH-major
+                # ([B*T], B the sharded axis as the major dim) so the merge
+                # preserves the batch sharding; a [T*B] fold would make
+                # GSPMD all-gather the rollout across hosts.
+                T, Bm = mb["act"].shape[:2]
+                obs_f = jax.tree.map(
+                    lambda x: jnp.swapaxes(x, 0, 1).reshape(
+                        (Bm * T,) + x.shape[2:]),
+                    mb["obs"],
+                )
+                logits, value, _ = model.apply(p, obs_f, None)
+                logits = jnp.swapaxes(
+                    logits.reshape((Bm, T) + logits.shape[1:]), 0, 1)
+                lp, value, ent = seq_logits_lp_ent(
+                    logits, jnp.swapaxes(value.reshape(Bm, T), 0, 1),
+                    mb["act"])
+            else:
+                def scan_step(carry, xs):
+                    obs_t, act_t = xs
+                    logits, value, carry = model.apply(p, obs_t, carry)
+                    return carry, seq_logits_lp_ent(logits, value, act_t)
+
+                if cfg.remat:
+                    # BPTT backward over the T-step scan otherwise stores
+                    # every step's activations for the whole (env x agent)
+                    # batch; recomputing in the backward pass is near-free
+                    # for these op-granularity-bound policies.
+                    scan_step = jax.checkpoint(scan_step)
+                _, (lp, value, ent) = jax.lax.scan(
+                    scan_step, mb["carry"], (mb["obs"], mb["act"])
+                )
             ratio = jnp.exp(lp - mb["logp_old"])
             a = (mb["adv"] - mb["adv"].mean()) / (mb["adv"].std() + 1e-8)
             pl = -jnp.minimum(
@@ -354,15 +416,16 @@ class TwoLevelTrainer:
             self.cfg.gamma, self.cfg.gae_lambda,
         )
 
-        params_a, opt_a = ts.params_a, ts.opt_a
-        params_p, opt_p = ts.params_p, ts.opt_p
-        aux_a = aux_p = None
-        for e in range(self.cfg.epochs):
-            k_e = jax.random.fold_in(k_mb, e)
+        # Epochs as a lax.scan: ONE update-body in the program, looped.
+        # (Unrolling epochs duplicates the whole fused-BPTT grad program,
+        # which both bloats compile time and trips a TPU compiler
+        # memory-space-assignment bug at chip-scale batches.)
+        def epoch_step(carry, k_e):
+            params_a, opt_a, params_p, opt_p = carry
             params_a, opt_a, aux_a = self._update_policy(
                 self.model_a, params_a, opt_a, batch["obs_a"], init_carry_a,
                 batch["act_a"], batch["logp_a"], adv_a, ret_a, ent_coef_a,
-                jax.random.fold_in(k_e, 0),
+                jax.random.fold_in(k_e, 0), model_seq=self.model_a_seq,
             )
             if self.has_planner_actions and self.train_planner:
                 params_p, opt_p, aux_p = self._update_policy(
@@ -370,7 +433,21 @@ class TwoLevelTrainer:
                     batch["act_p"], batch["logp_p"], adv_p, ret_p, ent_coef_p,
                     jax.random.fold_in(k_e, 1),
                     multi_dims=self.p_layout.action_dims,
+                    model_seq=self.model_p_seq,
                 )
+            else:
+                aux_p = {k: jnp.zeros(()) for k in
+                         ("policy_loss", "value_loss", "entropy")}
+            return (params_a, opt_a, params_p, opt_p), (aux_a, aux_p)
+
+        (params_a, opt_a, params_p, opt_p), (auxs_a, auxs_p) = jax.lax.scan(
+            epoch_step,
+            (ts.params_a, ts.opt_a, ts.params_p, ts.opt_p),
+            jax.random.split(k_mb, self.cfg.epochs),
+        )
+        aux_a = jax.tree.map(lambda x: x[-1], auxs_a)
+        aux_p = (jax.tree.map(lambda x: x[-1], auxs_p)
+                 if self.has_planner_actions and self.train_planner else None)
 
         metrics = {
             "reward_a_mean": batch["rew_a"].sum(0).mean() ,

@@ -137,3 +137,56 @@ def test_dryrun_multichip():
     if n < 2:
         pytest.skip("needs >= 2 devices (virtual ok)")
     ge.dryrun_multichip(n)
+
+
+def test_sequence_twin_matches_step_scan():
+    """ConvLSTMPolicySeq (time-parallel torso + scanned LSTM cell, the PPO
+    update path) must reproduce the step-wise ConvLSTMPolicy scanned over
+    time — same param tree, same outputs — in both the single-fold and the
+    chunked-torso lowering."""
+    import numpy as np
+    from ai_economist_tpu.training.models import ConvLSTMPolicy, sequence_twin
+
+    T, B, A = 6, 4, 9
+    m = ConvLSTMPolicy(num_actions=A)
+    rng = np.random.RandomState(1)
+    obs_seq = {
+        "world-map": jnp.asarray(
+            rng.randint(0, 5, (T, B, 6, 11, 11)).astype(np.float32)),
+        "world-idx_map": jnp.asarray(
+            rng.randint(0, 6, (T, B, 2, 11, 11)).astype(np.float32)),
+        "flat": jnp.asarray(rng.rand(T, B, 7).astype(np.float32)),
+        "time": jnp.asarray(rng.rand(T, B, 1).astype(np.float32)),
+        "action_mask": jnp.asarray(
+            (rng.rand(T, B, A) > 0.3).astype(np.float32)),
+    }
+    carry0 = m.initial_carry(B)
+    p = m.init(jax.random.PRNGKey(0),
+               {k: v[0] for k, v in obs_seq.items()}, carry0)
+
+    def step(c, obs_t):
+        lo, va, c = m.apply(p, obs_t, c)
+        return c, (lo, va)
+
+    cT, (L1, V1) = jax.lax.scan(step, carry0, obs_seq)
+
+    seq = sequence_twin(m)
+    L2, V2, cT2 = seq.apply(p, obs_seq, carry0)
+    np.testing.assert_array_equal(np.asarray(L1), np.asarray(L2))
+    np.testing.assert_allclose(np.asarray(V1), np.asarray(V2), atol=1e-6)
+    for a, b in zip(jax.tree.leaves(cT), jax.tree.leaves(cT2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # Chunked torso (T=6, chunk target forces 2-step chunks).
+    seq_chunked = type(seq)(num_actions=A, torso_batch_target=2 * B)
+    L3, V3, cT3 = seq_chunked.apply(p, obs_seq, carry0)
+    np.testing.assert_allclose(np.asarray(L1), np.asarray(L3), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(V1), np.asarray(V3), atol=1e-5)
+
+    # uint8-compressed map obs (the trainer's rollout-batch storage) must
+    # give identical results to f32 — the values are exact small ints.
+    obs_u8 = dict(obs_seq)
+    obs_u8["world-map"] = obs_seq["world-map"].astype(jnp.uint8)
+    obs_u8["world-idx_map"] = obs_seq["world-idx_map"].astype(jnp.uint8)
+    L4, V4, _ = seq.apply(p, obs_u8, carry0)
+    np.testing.assert_array_equal(np.asarray(L1), np.asarray(L4))
