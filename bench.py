@@ -2,6 +2,19 @@
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
+METHODOLOGY (round 5, the single methodology for every bench in this repo —
+gather-trade-build here, covid in tools/bench_covid.py, RBC in
+tools/bench_rbc.py): SCAN-FUSED MARGINAL. The whole
+sample-masked-actions -> step -> auto-reset pipeline runs as one lax.scan
+with the state threaded through and a reward checksum consumed (the only
+structure whose timing the axon tunnel cannot fake); per-step keys are
+pre-staged on device; the rate is the marginal cost
+(t(T2) - t(T1)) / (T2 - T1), min-of-3 per T, which cancels dispatch latency
+and fixed per-call staging. The host-loop rate (the r1-r4 headline
+methodology) is also reported as `host_loop_value` — for this
+compute-dominated config the two agree within noise, unlike sub-ms steps
+where host loops measure dispatch (see BENCH_rbc_r04).
+
 `vs_baseline` is measured-over-measured: the denominator is the ACTUAL
 reference CPU engine (/root/reference, salesforce/ai-economist v1.7.1) run in
 this same process under the identical env config and the identical
@@ -179,6 +192,7 @@ def main():
 
     random_actions = jax.jit(random_actions)
 
+    # ---- host-loop rate (r1-r4 methodology; consistency check) ----------
     for i in range(WARMUP):
         key, k = jax.random.split(key)
         states, obs, rew, done, _ = batch.step(states, random_actions(k, obs))
@@ -190,15 +204,53 @@ def main():
         states, obs, rew, done, _ = batch.step(states, random_actions(k, obs))
     jax.block_until_ready(states.t)
     dt = time.perf_counter() - t0
+    host_loop = NUM_ENVS * STEPS / dt
 
-    steps_per_s = NUM_ENVS * STEPS / dt
+    # ---- scan-fused marginal rate (the headline methodology) ------------
+    from ai_economist_tpu.adapters.batched import auto_reset_step
+
+    initial_states = batch._initial_states
+
+    @jax.jit
+    def run(states, obs, keys):
+        def body(carry, k):
+            states, obs = carry
+            acts = random_actions(k, obs)
+            states, obs, rew, done, _ = auto_reset_step(
+                env, states, acts, initial_states, batch.reset_mode
+            )
+            return (states, obs), rew["a"].sum()
+        (states, obs), tot = jax.lax.scan(body, (states, obs), keys)
+        return states, obs, tot.sum()
+
+    def timed(T, seed):
+        keys = jax.random.split(jax.random.PRNGKey(seed), T)
+        jax.block_until_ready(keys)
+        out = run(states, obs, keys)  # compile/warm this T
+        jax.block_until_ready(out[2])
+        best = float("inf")
+        for r in range(3):
+            keys2 = jax.random.split(jax.random.PRNGKey(seed + 100 + r), T)
+            jax.block_until_ready(keys2)
+            t0 = time.perf_counter()
+            out = run(states, obs, keys2)
+            jax.block_until_ready(out[2])
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    T1, T2 = 60, 240
+    dt1, dt2 = timed(T1, 11), timed(T2, 12)
+    fused = NUM_ENVS * (T2 - T1) / max(dt2 - dt1, 1e-9)
+
     print(
         json.dumps(
             {
                 "metric": f"env-steps/s/chip gather-trade-build {N_AGENTS}ag x {NUM_ENVS}env",
-                "value": round(steps_per_s, 1),
+                "value": round(fused, 1),
                 "unit": "env-steps/s/chip",
-                "vs_baseline": round(steps_per_s / ref_sps, 2),
+                "vs_baseline": round(fused / ref_sps, 2),
+                "method": "scan-fused marginal (T 60->240, min-of-3)",
+                "host_loop_value": round(host_loop, 1),
             }
         )
     )

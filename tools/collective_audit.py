@@ -115,6 +115,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="")
     ap.add_argument("--num-envs", type=int, default=32)
+    ap.add_argument("--config", default="phase1.yaml",
+                    help="config under training/configs/ (or absolute path)")
+    ap.add_argument("--saez", action="store_true",
+                    help="swap the tax component to tax_model=saez and also "
+                         "audit the cross-replica buffer sync program")
     args = ap.parse_args()
 
     import jax
@@ -132,10 +137,22 @@ def main():
     from ai_economist_tpu.training import run as R
     import yaml
 
-    cfg = yaml.safe_load(open(os.path.join(
+    cfg_path = args.config if os.path.isabs(args.config) else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "ai_economist_tpu/training/configs/phase1.yaml")))
+        "ai_economist_tpu/training/configs", args.config)
+    cfg = yaml.safe_load(open(cfg_path))
     cfg["trainer"]["num_envs"] = args.num_envs
+    if args.saez:
+        comps = []
+        for spec in cfg["env"]["components"]:
+            (name, kw), = spec.items() if isinstance(spec, dict) else [spec]
+            kw = dict(kw)
+            if name == "PeriodicBracketTax":
+                kw.update(tax_model="saez", disable_taxes=False)
+                kw.pop("tax_annealing_schedule", None)
+            comps.append({name: kw})
+        cfg["env"]["components"] = comps
+        cfg["trainer"]["train_planner"] = False
     trainer = R.build_trainer(cfg)
 
     # Simulated 2-host x 4-device mesh: one process, but the HOST axis is a
@@ -146,6 +163,13 @@ def main():
     fn = jax.jit(lambda ts: trainer.train_iteration(ts, 0.025, 0.1))
     hlo = fn.lower(ts).compile().as_text()
     entries = audit_hlo(hlo)
+    saez_entries = []
+    if args.saez:
+        from ai_economist_tpu.parallel.saez import sync_saez_buffers
+
+        sync_hlo = jax.jit(sync_saez_buffers).lower(
+            ts.env_states).compile().as_text()
+        saez_entries = audit_hlo(sync_hlo)
 
     def tot(pred):
         return sum(e["bytes"] for e in entries if pred(e))
@@ -153,7 +177,8 @@ def main():
     summary = {
         "mesh": "2 hosts x 4 devices (simulated; GSPMD partitioning is "
                 "identical to a real 2-host pod)",
-        "config": "phase1.yaml", "num_envs": args.num_envs,
+        "config": os.path.basename(cfg_path) + (" (saez)" if args.saez else ""),
+        "num_envs": args.num_envs,
         "n_collectives": len(entries),
         "cross_host_bytes_per_iteration": tot(lambda e: e["cross_host"] is True),
         "within_host_bytes_per_iteration": tot(lambda e: e["cross_host"] is False),
@@ -171,6 +196,10 @@ def main():
         ),
         "collectives": entries,
     }
+    if args.saez:
+        summary["saez_sync_cross_host_bytes"] = sum(
+            e["bytes"] for e in saez_entries if e["cross_host"] is True)
+        summary["saez_sync_collectives"] = saez_entries
     for e in entries:
         k = f"{e['op']}{'_cross_host' if e['cross_host'] else ''}"
         d = summary["by_op"].setdefault(k, {"count": 0, "bytes": 0})
