@@ -20,6 +20,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ai_economist_tpu.ops.embed import embed_lookup
+
 LOGIT_MASK_VALUE = -1e7
 
 
@@ -51,6 +53,10 @@ class OneHotEmbed(nn.Module):
     # separate [..., C, features] intermediate (minor dim `features`, tile-
     # padded up to 32x) never exists.
     merge_last_axis: bool = False
+    # Output dtype (params stay f32). bf16 when the consumer is a conv:
+    # XLA converts conv operands to bf16 regardless, and emitting bf16
+    # directly halves every relayout of this training-batch-sized tensor.
+    out_dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, idx: jnp.ndarray) -> jnp.ndarray:
@@ -60,36 +66,31 @@ class OneHotEmbed(nn.Module):
                                              out_axis=0),
             (self.num_embeddings, self.features),
         )
-        # Compare in the index's native dtype (u8 from compressed rollout
-        # batches, f32 from live obs — map values are exact small ints in
-        # every case), avoiding an s32 cast + relayout copy per use.
-        oh = (idx[..., None] ==
-              jnp.arange(self.num_embeddings).astype(idx.dtype)
-              ).astype(table.dtype)
+        # ops/embed.py: Pallas VMEM contraction on TPU at training batch
+        # sizes (the one-hot never reaches HBM — round-5 trace showed the
+        # einsum path's materialized one-hots were ~70% of a 2048-env train
+        # iteration); bit-identical one-hot einsum off TPU / at small sizes.
         if self.merge_last_axis:
-            C = idx.shape[-1]
-            t2 = jnp.kron(jnp.eye(C, dtype=table.dtype), table)
-            out = jax.lax.dot_general(
-                oh.reshape(-1, C * self.num_embeddings), t2,
-                (((1,), (0,)), ((), ())),
-            )
-            return out.reshape(idx.shape[:-1] + (C * self.features,))
-        out = jax.lax.dot_general(
-            oh.reshape(-1, self.num_embeddings), table,
-            (((1,), (0,)), ((), ())),
-        )
-        return out.reshape(idx.shape + (self.features,))
+            return embed_lookup(table, idx, self.out_dtype)
+        return embed_lookup(table, idx[..., None], self.out_dtype)
 
 
 class _ConvTower(nn.Module):
     num_conv: int = 2
 
     @nn.compact
-    def __call__(self, x):  # x: [B, H, W, C]
-        x = nn.relu(nn.Conv(16, (3, 3), strides=2, padding="VALID")(x))
+    def __call__(self, x):  # x: [B, H, W, C], bf16 on the hot path
+        # dtype=input dtype: params stay f32 but compute follows the input
+        # (bf16 multiplies, f32 accumulation on the MXU — what XLA lowers
+        # f32 convs to anyway). The f32 cast happens on the small flattened
+        # features, not the conv feature maps.
+        dt = x.dtype
+        x = nn.relu(nn.Conv(16, (3, 3), strides=2, padding="VALID",
+                            dtype=dt)(x))
         for _ in range(self.num_conv - 1):
-            x = nn.relu(nn.Conv(32, (3, 3), strides=2, padding="VALID")(x))
-        return x.reshape(x.shape[0], -1)
+            x = nn.relu(nn.Conv(32, (3, 3), strides=2, padding="VALID",
+                                dtype=dt)(x))
+        return x.reshape(x.shape[0], -1).astype(jnp.float32)
 
 
 def _build_tower(m, tag: str, use_conv: bool):
@@ -105,7 +106,7 @@ def _build_tower(m, tag: str, use_conv: bool):
     if use_conv:
         mods["embed"] = OneHotEmbed(
             m.input_emb_vocab, m.emb_dim, merge_last_axis=True,
-            name=f"embedding_{tag}")
+            out_dtype=jnp.bfloat16, name=f"embedding_{tag}")
         mods["conv"] = _ConvTower(m.num_conv, name=f"conv_{tag}")
     return mods
 
@@ -125,8 +126,8 @@ def _apply_tower(mods, obs: Dict[str, jnp.ndarray]) -> jnp.ndarray:
         # Map obs may arrive uint8-compressed from the rollout batch
         # (trainer MAP_OBS_KEYS); the cast back is lossless.
         wm = jnp.transpose(obs["world-map"], (0, 2, 3, 1)).astype(
-            jnp.float32
-        )  # BHWC
+            jnp.bfloat16
+        )  # BHWC; map values are small exact ints — bf16 is lossless here
         # idx stays in its storage dtype (u8/f32); OneHotEmbed compares
         # against a native-dtype iota, so no integer cast is needed.
         idx = obs["world-idx_map"]

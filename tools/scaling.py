@@ -28,7 +28,7 @@ import time
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
 
-OUT = os.path.join(_REPO, "SCALING_r04.json")
+OUT = os.path.join(_REPO, "SCALING_r05.json")
 ENVS_PER_DEV = 64
 STEPS = 25
 TRAIN_ENVS_PER_DEV = 4
@@ -202,7 +202,10 @@ def main():
                 f"{cores} host cores, points with devices > cores are "
                 "core-oversubscribed: the honest ideal there is "
                 "min(1, cores/devices), reported as ideal_efficiency. "
-                "tpu_single_chip is the real-hardware number.",
+                "tpu_single_chip is the real-hardware number. For projected "
+                "multi-HOST efficiency over realistic DCN bandwidths see "
+                "COLLECTIVES_r05.json (measured cross-host bytes/iteration "
+                "divided against measured single-chip iteration time).",
     }}
 
     env_points = []
