@@ -250,7 +250,12 @@ def main():
         - 1.0 / train_points[1]["train_iterations_per_s"]
     )
 
-    results["tpu_single_chip"] = _tpu_point()
+    if "--no-tpu" in sys.argv:
+        # CPU-only pass (e.g. while the chip is training); merge the TPU
+        # point later with --tpu-only.
+        results["tpu_single_chip"] = {"pending": True}
+    else:
+        results["tpu_single_chip"] = _tpu_point()
 
     with open(OUT, "w") as f:
         json.dump(results, f, indent=1)
@@ -261,5 +266,14 @@ def main():
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--envstep-worker":
         envstep_worker(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--tpu-only":
+        # Fill the pending TPU point of an existing OUT (run once the chip
+        # is idle so the bench is uncontended).
+        results = json.load(open(OUT))
+        results["tpu_single_chip"] = _tpu_point()
+        with open(OUT, "w") as f:
+            json.dump(results, f, indent=1)
+            f.write("\n")
+        print(json.dumps(results["tpu_single_chip"], indent=1))
     else:
         main()
