@@ -43,8 +43,22 @@ METRIC_KEYS = (
 )
 
 
-def evaluate(trainer, ts, episodes: int, seed: int = 1234):
-    """Greedy-rollout `episodes` episodes in one batch; returns metric arrays."""
+def evaluate(trainer, ts, episodes: int, seed: int = 1234,
+             annealing: str = "completed"):
+    """Greedy-rollout `episodes` episodes in one batch; returns metric arrays.
+
+    annealing="completed" (default) evaluates with the tax-annealing
+    curriculum fully visible: fresh episodes reset with completions=0, and
+    both the planner's annealed action mask
+    (components/redistribution.py:646-668) and curr_rate_max gate on
+    state.completions — without this override every rate except 0% is
+    masked, so a phase-2 eval silently measures a TAX-FREE episode with
+    tax-trained agents (this is what the round-4 phase-2 eval table
+    measured; discovered round 5). Training ends with completions far past
+    full visibility, so the trained equilibrium is the completed-annealing
+    one. annealing="fresh" keeps completions=0 (the old protocol), useful
+    as the taxes-off ablation.
+    """
     env = trainer.env
     N = env.n_agents
 
@@ -54,6 +68,12 @@ def evaluate(trainer, ts, episodes: int, seed: int = 1234):
     def run(keys):
         E = keys.shape[0]
         states, obs = jax.vmap(env.reset_fresh)(keys)
+        if annealing == "completed":
+            states = states.replace(
+                completions=jnp.full_like(states.completions, 1 << 24))
+            # Re-derive obs: the reset-time action masks were computed at
+            # completions=0 and would zero-mask the first tax day.
+            obs = jax.vmap(env.observations)(states)
         carry_a = trainer.model_a.initial_carry(E * N)
         carry_p = trainer.model_p.initial_carry(E)
 
@@ -91,6 +111,11 @@ def main():
     ap.add_argument("--step", type=int, default=None,
                     help="checkpoint iteration to evaluate (default: latest)")
     ap.add_argument("--seed", type=int, default=1234)
+    ap.add_argument("--annealing", choices=["completed", "fresh"],
+                    default="completed",
+                    help="completed: tax annealing fully visible (the "
+                         "trained equilibrium); fresh: completions=0 "
+                         "(zero-tax ablation, the pre-r5 protocol)")
     args = ap.parse_args()
 
     from ai_economist_tpu.training import run as R
@@ -104,11 +129,13 @@ def main():
     ts = mgr.restore(ts, step)
     mgr.close()
 
-    out, _ = evaluate(trainer, ts, args.episodes, args.seed)
+    out, _ = evaluate(trainer, ts, args.episodes, args.seed,
+                      annealing=args.annealing)
     res = {
         "run": os.path.basename(os.path.abspath(args.run_dir)),
         "restored_iteration": int(step),
         "episodes": args.episodes,
+        "annealing": args.annealing,
         **{k.split("/")[-1]: round(float(np.mean(np.asarray(v))), 4)
            for k, v in out.items()},
         **{k.split("/")[-1] + "_std": round(float(np.std(np.asarray(v))), 4)
