@@ -92,67 +92,88 @@ def _stat_value(stat, meta):
 
 
 def summarize_device_plane(spaces, iterations):
-    """Per-op device-time aggregation over every device plane in the trace."""
+    """Device-time aggregation over the TPU device plane.
+
+    Three disjoint views of one capture:
+    * device_time_ms_per_iter — the "XLA Modules" line (one event per
+      executed program): the chip's actual busy time. The "XLA Ops" line
+      NESTS while-loop bodies (a while event's children appear again as
+      their own events), so summing it double-counts.
+    * top_ops — leaf events from "XLA Ops", excluding container ops
+      (while/call/conditional, and the jit_* module-level events) and DMA
+      copy-start/copy-done pairs.
+    * dma_ms_per_iter — the copy-start/copy-done events: under the axon
+      tunnel these are host<->device transfers (profiling forces output
+      syncs), NOT part of the compiled step; reported separately so they
+      cannot be mistaken for compute.
+    """
+    import re as _re
+
     per_op = {}
     plane_names = []
-    device_total_ps = 0
+    modules_ps = 0
+    dma_ps = 0
+    leaf_ps = 0
     for xs in spaces:
         for plane in xs.planes:
             name = plane.name
-            # Device planes: '/device:TPU:0' (TPU), '/device:CPU:0' XLA
-            # launch plane is host-side; TPU device planes carry the
-            # per-core 'XLA Ops' lines.
-            if not name.startswith("/device:"):
+            if not name.startswith("/device:TPU"):
                 continue
             plane_names.append(name)
             emeta = {i: m for i, m in plane.event_metadata.items()}
             smeta = {i: m.name for i, m in plane.stat_metadata.items()}
             for line in plane.lines:
                 lname = line.name or f"line{line.id}"
-                # Count op execution lines only; skip step/annotation lines
-                # (they span whole iterations and would double count).
-                if lname.lower() in ("steps", "step"):
+                if lname == "XLA Modules":
+                    modules_ps += sum(e.duration_ps for e in line.events)
+                if lname != "XLA Ops":
                     continue
                 for ev in line.events:
                     md = emeta.get(ev.metadata_id)
                     op = md.name if md is not None else f"op{ev.metadata_id}"
+                    tok = _re.match(r"%?([a-zA-Z0-9_.-]+)", op)
+                    tok = tok.group(1) if tok else op
+                    if tok.startswith(("copy-start", "copy-done")):
+                        dma_ps += ev.duration_ps
+                        continue
+                    if (tok.startswith(("while", "call", "conditional"))
+                            or op.startswith("jit_")):
+                        continue
                     rec = per_op.setdefault(
-                        op, {"ps": 0, "count": 0, "line": lname, "stats": {}})
+                        op, {"ps": 0, "count": 0, "stats": {}})
                     rec["ps"] += ev.duration_ps
                     rec["count"] += 1
-                    device_total_ps += ev.duration_ps
+                    leaf_ps += ev.duration_ps
                     for st in ev.stats:
                         sname = smeta.get(st.metadata_id, str(st.metadata_id))
                         val = _stat_value(st, smeta)
                         if isinstance(val, (int, float)):
                             rec["stats"][sname] = rec["stats"].get(sname, 0) + val
-    if not per_op:
+    if not plane_names or modules_ps == 0:
         return None
     top = sorted(per_op.items(), key=lambda kv: -kv[1]["ps"])[:12]
-    total_ms = device_total_ps / 1e9
     out = {
         "device_planes": sorted(set(plane_names)),
-        "device_time_ms_per_iter": total_ms / iterations,
+        "device_time_ms_per_iter": modules_ps / 1e9 / iterations,
+        "leaf_op_ms_per_iter": leaf_ps / 1e9 / iterations,
+        "dma_ms_per_iter": dma_ps / 1e9 / iterations,
         "top_ops": [
             {
-                "op": op,
+                "op": op if len(op) <= 160 else op[:120] + "..." + op[-37:],
                 "device_ms_per_iter": rec["ps"] / 1e9 / iterations,
-                "share": rec["ps"] / (total_ms * 1e9),
+                "share_of_device_time": rec["ps"] / modules_ps,
                 "count_per_iter": rec["count"] / iterations,
-                **({"stats_per_iter": {
-                    k: v / iterations for k, v in rec["stats"].items()}}
-                   if rec["stats"] else {}),
             }
             for op, rec in top
         ],
     }
-    # Measured HBM traffic when the runtime attaches byte counts to events.
-    byte_keys = [k for rec in per_op.values() for k in rec["stats"]
-                 if "byte" in k.lower()]
+    # Per-op byte counters, when the runtime attaches them (it does not on
+    # this tunnel: bytes stay a cost-analysis estimate, stated as such).
+    byte_keys = {k for rec in per_op.values() for k in rec["stats"]
+                 if "byte" in k.lower()}
     if byte_keys:
         total_bytes = sum(rec["stats"].get(k, 0)
-                          for rec in per_op.values()
-                          for k in set(byte_keys))
+                          for rec in per_op.values() for k in byte_keys)
         out["measured_bytes_per_iter"] = total_bytes / iterations
         out["measured_hbm_frac"] = (
             (total_bytes / iterations)
